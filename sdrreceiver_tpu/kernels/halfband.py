@@ -1,0 +1,55 @@
+"""Half-band /2 decimation cascades.
+
+Reference: each VFO owns up to 8 chained HalfBandDecimator objects
+(vfo.h:63, vfo.cpp:127-133, always 11 taps) that per-sample dot-product even
+samples and history-update odd ones (halfbanddecimator.cpp:43-72).  Here a
+cascade is a list of strided grouped convolutions: stage k maps
+``[C, T/2^k] -> [C, T/2^(k+1)]`` computing only the kept (even) phases, with
+``ntaps - 1`` samples of carried history per stage per channel.
+
+A half-band's odd taps are zero (except the 0.5 center), so a direct
+implementation does ~half the MACs; the fused Pallas kernel exploits this,
+while this jnp reference path leaves it to XLA (the zero taps still multiply).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from . import design
+from .fir import conv_block, prepare_taps
+
+__all__ = ["cascade_init", "cascade_apply", "cascade_taps"]
+
+
+def cascade_taps(channels: int, taps: int = 11) -> jnp.ndarray:
+    """Reversed (correlation-order) half-band taps for conv_block; symmetric,
+    so reversal is the identity, but kept explicit for uniformity."""
+    return prepare_taps(design.half_band(taps), channels)
+
+
+def cascade_init(
+    channels: int, stages: int, taps: int = 11, dtype=jnp.complex64
+) -> list[jax.Array]:
+    """Zero history for each of ``stages`` chained /2 decimators."""
+    return [
+        jnp.zeros((channels, taps - 1), dtype=dtype) for _ in range(stages)
+    ]
+
+
+def cascade_apply(
+    hists: list[jax.Array], x: jax.Array, rtaps: jnp.ndarray
+) -> tuple[list[jax.Array], jax.Array]:
+    """Run ``x [C, T]`` through the full /2 cascade; returns ``[C, T/2^S]``.
+
+    ``T`` must be divisible by ``2**len(hists)`` (the plan compiler sizes
+    blocks so every stage divides evenly — the reference guarantees the same via its
+    buffer-length rules, mainwindow.cpp:67-81).
+    """
+    new_hists = []
+    y = x
+    for hist in hists:
+        hist, y = conv_block(hist, y, rtaps, stride=2)
+        new_hists.append(hist)
+    return new_hists, y
