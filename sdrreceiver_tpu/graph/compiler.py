@@ -1,0 +1,196 @@
+"""Plan -> one jitted tensor program (the whole receiver as a block step).
+
+The reference executes its VFO tree as nested per-object virtual calls on the
+dispatcher thread (sdrj.cpp:288-294 -> vfo.cpp:235-296 recursion).  Here the
+compiler walks the static :class:`~sdrreceiver_tpu.graph.plan.ReceiverPlan`
+once at build time and emits a single pure function
+
+    state', outputs = step(state, iq_block)
+
+covering every group, bucket and channel; ``jax.jit`` then compiles it to one
+XLA executable — mixing, all cascades, late decimation, USB demod, audio
+filtering, quantization and IQ compression fused into one device program per
+ingest block.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import stream
+from ..kernels import (
+    compress,
+    dc,
+    design,
+    fir,
+    halfband,
+    ingest,
+    nco,
+    usbdemod,
+)
+from .plan import ReceiverPlan
+
+__all__ = ["CompiledReceiver", "compile_plan"]
+
+
+class CompiledReceiver:
+    """Executable form of a ReceiverPlan.
+
+    Outputs of one step (all shapes static):
+      ``audio/<topic>``   int16 ``[T_audio]`` demodulated channel audio
+      ``iq/<topic>``      uint8 ``[T_group]`` packed compressed group IQ
+                          (only for main VFOs configured to publish,
+                          mainwindow.cpp:109-126)
+    plus ``rates()`` giving the sample rate for each output key (the value the
+    ZMQ wire format carries, zmqpublisher.cpp:85-92).
+    """
+
+    def __init__(self, plan: ReceiverPlan, block_samples: int | None = None):
+        self.plan = plan
+        self.block = int(block_samples or plan.block_samples)
+        div = plan.block_divisor()
+        if self.block % div:
+            raise ValueError(
+                f"block of {self.block} samples not a multiple of chain divisor {div}"
+            )
+        self._consts: dict[str, Any] = {}
+        self._build_consts()
+        self.step_iq = jax.jit(self._step_iq, donate_argnums=(0,))
+        self.step_u8 = jax.jit(self._step_u8, donate_argnums=(0,))
+
+    # ---------------------------------------------------------------- consts
+    def _build_consts(self) -> None:
+        hb = design.half_band(11)
+        hilb = design.hilbert()
+        for g in self.plan.groups:
+            gk = f"g{g.index}"
+            self._consts[f"{gk}/hb"] = fir.prepare_taps(hb, 1)
+            for bi, b in enumerate(g.buckets):
+                bk = f"{gk}/b{bi}"
+                c = b.channels
+                self._consts[f"{bk}/hb"] = fir.prepare_taps(hb, c)
+                self._consts[f"{bk}/hilbert"] = fir.prepare_taps(hilb, c)
+                self._consts[f"{bk}/gains"] = jnp.asarray(b.gains())
+                lt = b.late_taps()
+                if lt is not None:
+                    self._consts[f"{bk}/late"] = fir.prepare_taps(lt, c)
+                at = b.audio_taps()
+                if at is not None:
+                    self._consts[f"{bk}/audio"] = fir.prepare_taps(at)
+
+    # ----------------------------------------------------------------- state
+    def init_state(self) -> dict:
+        plan = self.plan
+        state: dict[str, Any] = {"dc": dc.dc_init()}
+        for g in plan.groups:
+            gs: dict[str, Any] = {}
+            if not g.direct:
+                gs["nco"] = nco.nco_init([g.mixer_freq], plan.fs)
+                gs["cascade"] = halfband.cascade_init(1, g.stages)
+            for bi, b in enumerate(g.buckets):
+                c = b.channels
+                bs: dict[str, Any] = {
+                    "nco": nco.nco_init(b.mixer_freqs(), g.out_rate),
+                    "cascade": halfband.cascade_init(c, b.stages),
+                    "usb": usbdemod.usb_init(c),
+                }
+                if b.late_factor > 1:
+                    ntaps = self._consts[f"g{g.index}/b{bi}/late"].shape[1]
+                    bs["late"] = stream.fir_history_init(c, ntaps)
+                if f"g{g.index}/b{bi}/audio" in self._consts:
+                    ntaps = self._consts[f"g{g.index}/b{bi}/audio"].shape[1]
+                    bs["audio"] = stream.fir_history_init(c, ntaps, jnp.float32)
+                gs[f"b{bi}"] = bs
+            state[f"g{g.index}"] = gs
+        return state
+
+    # ------------------------------------------------------------------ step
+    def _step_u8(self, state: dict, raw: jax.Array):
+        return self._step_iq(state, ingest.u8_iq_to_complex(raw))
+
+    def _step_iq(self, state: dict, iq: jax.Array):
+        plan = self.plan
+        new_state: dict[str, Any] = {}
+        outputs: dict[str, jax.Array] = {}
+
+        if plan.dc_correct:
+            new_state["dc"], x = dc.dc_block(state["dc"], iq)
+        else:
+            new_state["dc"], x = state["dc"], iq
+
+        for g in plan.groups:
+            gk = f"g{g.index}"
+            gs = state[gk]
+            ngs: dict[str, Any] = {}
+            if g.direct:
+                z = x[None, :]
+            else:
+                ngs["nco"], z = nco.mix_block(gs["nco"], x, plan.fs)
+                ngs["cascade"], z = halfband.cascade_apply(
+                    gs["cascade"], z, self._consts[f"{gk}/hb"]
+                )
+            if g.publishes_iq:
+                outputs[f"iq/{g.zmq_topic}"] = compress.compress_style1(
+                    z[0], float(g.compress_scale)
+                )
+
+            for bi, b in enumerate(g.buckets):
+                bk = f"{gk}/b{bi}"
+                bs = gs[f"b{bi}"]
+                nbs: dict[str, Any] = {}
+                nbs["nco"], y = nco.mix_block(bs["nco"], z[0], g.out_rate)
+                nbs["cascade"], y = halfband.cascade_apply(
+                    bs["cascade"], y, self._consts[f"{bk}/hb"]
+                )
+                if b.late_factor > 1:
+                    nbs["late"], y = fir.conv_block(
+                        bs["late"], y, self._consts[f"{bk}/late"], b.late_factor
+                    )
+                nbs["usb"], audio = usbdemod.usb_block(
+                    bs["usb"], y, self._consts[f"{bk}/hilbert"]
+                )
+                if f"{bk}/audio" in self._consts:
+                    nbs["audio"], audio = fir.conv_block(
+                        bs["audio"], audio, self._consts[f"{bk}/audio"]
+                    )
+                pcm = usbdemod.quantize_i16(audio, self._consts[f"{bk}/gains"])
+                for ci, s in enumerate(b.subs):
+                    outputs[f"audio/{s.topic}"] = pcm[ci]
+                ngs[f"b{bi}"] = nbs
+            new_state[gk] = ngs
+        return new_state, outputs
+
+    # ------------------------------------------------------------- metadata
+    def rates(self) -> dict[str, int]:
+        """Output key -> sample rate (the ZMQ wire rate field)."""
+        r: dict[str, int] = {}
+        for g in self.plan.groups:
+            if g.publishes_iq:
+                r[f"iq/{g.zmq_topic}"] = g.out_rate
+            for b in g.buckets:
+                for s in b.subs:
+                    r[f"audio/{s.topic}"] = b.out_rate
+        return r
+
+    def output_shapes(self) -> dict[str, tuple[int, ...]]:
+        shapes: dict[str, tuple[int, ...]] = {}
+        for g in self.plan.groups:
+            tg = self.block >> g.stages
+            if g.publishes_iq:
+                shapes[f"iq/{g.zmq_topic}"] = (tg,)
+            for b in g.buckets:
+                ta = (tg >> b.stages) // b.late_factor
+                for s in b.subs:
+                    shapes[f"audio/{s.topic}"] = (ta,)
+        return shapes
+
+
+def compile_plan(
+    plan: ReceiverPlan, block_samples: int | None = None
+) -> CompiledReceiver:
+    return CompiledReceiver(plan, block_samples)
