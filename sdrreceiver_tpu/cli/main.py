@@ -1,0 +1,326 @@
+"""Command-line entry points.
+
+The reference is ``SDRReceiver -s file.ini`` + a Qt window (main.cpp:9-38).
+This CLI covers the same configuration surface headless, plus the offline
+file mode the reference stubbed out (sdrj.h:28) and planning/bench tools:
+
+  run           live receive (rtl_tcp remote, or an IQ file looped at
+                realtime pace) -> ZMQ egress, exactly like the GUI app
+  process-file  offline: IQ recording in, per-channel audio files out
+                (and/or ZMQ egress)
+  synth         generate a synthetic USB-channel IQ recording for testing
+  plan          print the compiled channelizer plan for an ini
+  bench         throughput benchmark of the compiled receiver
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+
+import numpy as np
+
+
+def _apply_backend(backend: str | None) -> None:
+    import jax
+
+    if backend:
+        jax.config.update("jax_platforms", backend)
+
+
+def _build(args, block=None):
+    from ..graph import build_plan, compile_plan, load_ini
+
+    cfg = load_ini(args.settings)
+    plan = build_plan(cfg)
+    return cfg, plan, None if plan is None else compile_plan(plan, block)
+
+
+def cmd_plan(args) -> int:
+    _apply_backend(args.backend)
+    from ..graph import build_plan, load_ini
+    from ..obs.metrics import plan_cost_model
+
+    plan = build_plan(load_ini(args.settings))
+    info = {
+        "fs": plan.fs,
+        "center_frequency": plan.center_frequency,
+        "dc_correct": plan.dc_correct,
+        "bufsplit": plan.bufsplit,
+        "block_samples": plan.block_samples,
+        "block_divisor": plan.block_divisor(),
+        "num_channels": plan.num_channels(),
+        "groups": [
+            {
+                "index": g.index,
+                "direct": g.direct,
+                "mixer_freq": g.mixer_freq,
+                "out_rate": g.out_rate,
+                "stages": g.stages,
+                "publishes_iq": g.publishes_iq,
+                "buckets": [
+                    {
+                        "stages": b.stages,
+                        "late_factor": b.late_factor,
+                        "out_rate": b.out_rate,
+                        "channels": b.channels,
+                        "topics": [s.topic for s in b.subs],
+                    }
+                    for b in g.buckets
+                ],
+            }
+            for g in plan.groups
+        ],
+        "cost_model": plan_cost_model(plan),
+    }
+    print(json.dumps(info, indent=2))
+    return 0
+
+
+def cmd_synth(args) -> int:
+    from ..graph import build_plan, load_ini
+    from ..io import iqfile
+
+    plan = build_plan(load_ini(args.settings))
+    only = set(args.only.split(",")) if args.only else None
+    chans = []
+    tone_map = {}
+    subs = [s for g in plan.groups for b in g.buckets for s in b.subs]
+    for i, s in enumerate(subs):
+        if only is not None and s.topic not in only:
+            continue
+        tone = args.tone + 37.0 * i  # distinct tone per channel
+        chans.append((s.frequency, tone, args.amplitude))
+        tone_map[s.topic] = tone
+    iq = iqfile.synthesize_channels(
+        int(args.seconds * plan.fs),
+        plan.fs,
+        plan.center_frequency,
+        chans,
+        noise=args.noise,
+        dc_offset=args.dc + 0j,
+    )
+    iqfile.write_iq(args.out, iq, args.format)
+    print(
+        json.dumps(
+            {
+                "out": args.out,
+                "format": args.format,
+                "samples": len(iq),
+                "channels": len(chans),
+                "tones": tone_map,
+            }
+        )
+    )
+    return 0
+
+
+def cmd_process_file(args) -> int:
+    _apply_backend(args.backend)
+    import jax.numpy as jnp
+
+    from ..core.runtime import run_pipeline
+    from ..io import iqfile, zmqpub
+
+    cfg, plan, rx = _build(args, args.block)
+    iq = iqfile.read_iq(args.iq, args.format)
+    outdir = pathlib.Path(args.out) if args.out else None
+    if outdir:
+        outdir.mkdir(parents=True, exist_ok=True)
+
+    hub = zmqpub.EgressHub(plan) if args.zmq else None
+    sink: dict[str, list[np.ndarray]] = {}
+
+    def on_outputs(outs: dict[str, np.ndarray]) -> int:
+        sent = hub.publish_outputs(outs) if hub else 0
+        if outdir is not None:
+            for k, v in outs.items():
+                sink.setdefault(k, []).append(v)
+        return sent
+
+    blocks = (jnp.asarray(b) for b in iqfile.iter_blocks(iq, rx.block))
+    metrics = run_pipeline(rx, blocks, on_outputs, max_blocks=args.max_blocks)
+
+    written = []
+    if outdir is not None:
+        for k, parts in sink.items():
+            data = np.concatenate(parts)
+            name = k.replace("/", "_") + (".s16" if k.startswith("audio") else ".bin")
+            data.tofile(outdir / name)
+            written.append(name)
+    if hub:
+        hub.close()
+
+    out = metrics.summary()
+    out["outputs_written"] = sorted(written)
+    out["realtime_factor"] = round(metrics.samples_per_second / plan.fs, 2)
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_run(args) -> int:
+    _apply_backend(args.backend)
+    import jax.numpy as jnp
+
+    from ..core.runtime import run_pipeline
+    from ..io import iqfile, rtltcp, zmqpub
+
+    cfg, plan, rx = _build(args, args.block)
+    hub = zmqpub.EgressHub(plan)
+
+    if cfg.remote_rtl and not args.iq:
+        client = rtltcp.RtlTcpClient(cfg.remote_rtl)
+        print(
+            f"rtl_tcp connected: tuner type {client.greeting.tuner_type}, "
+            f"{client.greeting.tuner_gain_count} gains",
+            file=sys.stderr,
+        )
+        client.configure(
+            plan.fs, plan.center_frequency, cfg.remote_rtl_gain_idx, agc=False
+        )
+        raw_blocks = (
+            jnp.asarray(b) for b in client.iter_blocks(2 * rx.block)
+        )
+        try:
+            metrics = run_pipeline(
+                rx,
+                raw_blocks,
+                hub.publish_outputs,
+                raw_u8=True,
+                max_blocks=args.max_blocks,
+            )
+        finally:
+            client.close()
+            hub.close()
+    elif args.iq:
+        iq = iqfile.read_iq(args.iq, args.format)
+
+        def looped():
+            while True:
+                yield from iqfile.iter_blocks(iq, rx.block)
+
+        blocks = (jnp.asarray(b) for b in looped())
+        try:
+            metrics = run_pipeline(
+                rx,
+                blocks,
+                hub.publish_outputs,
+                max_blocks=args.max_blocks,
+                realtime_fs=None if args.fast else plan.fs,
+            )
+        finally:
+            hub.close()
+    else:
+        print(
+            "no source: set remote_rtl in the ini (rtl_tcp) or pass --iq FILE "
+            "(local librtlsdr USB devices are not available in this build)",
+            file=sys.stderr,
+        )
+        return 2
+
+    print(json.dumps(metrics.summary()))
+    return 0
+
+
+def cmd_bench(args) -> int:
+    _apply_backend(args.backend)
+    import jax
+    import jax.numpy as jnp
+
+    from ..core.runtime import run_pipeline
+    from ..obs.metrics import plan_cost_model
+
+    cfg, plan, rx = _build(args, args.block)
+    rng = np.random.default_rng(0)
+    block = (
+        rng.standard_normal(2 * rx.block).astype(np.float32).view(np.complex64)
+    )
+    xb = jax.device_put(jnp.asarray(block))
+    n = args.blocks
+
+    metrics = run_pipeline(rx, (xb for _ in range(n + 1)), max_blocks=n + 1)
+    # first block includes compile; recompute on the steady-state tail
+    tail = metrics.block_seconds[1:]
+    sps = rx.block * len(tail) / sum(tail)
+    out = {
+        "device": str(jax.devices()[0]),
+        "block_samples": rx.block,
+        "blocks": n,
+        "msamples_per_second": round(sps / 1e6, 2),
+        "realtime_factor": round(sps / plan.fs, 1),
+        "cost_model": plan_cost_model(plan, rx.block),
+    }
+    print(json.dumps(out))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="sdrreceiver-tpu", description=__doc__, add_help=True
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def common(sp, iq_required=False):
+        sp.add_argument("-s", "--settings", required=True, help="ini file")
+        sp.add_argument("--backend", default=None, help="jax platform override (cpu/axon)")
+        sp.add_argument("--block", type=int, default=None, help="ingest block samples")
+        sp.add_argument("--max-blocks", type=int, default=None)
+        sp.add_argument("--format", default="u8", choices=["u8", "cf32"])
+        if iq_required:
+            sp.add_argument("--iq", required=True, help="IQ recording path")
+        else:
+            sp.add_argument("--iq", default=None, help="IQ recording path")
+
+    sp = sub.add_parser("plan", help="print the compiled channelizer plan")
+    sp.add_argument("-s", "--settings", required=True)
+    sp.add_argument("--backend", default=None)
+    sp.set_defaults(fn=cmd_plan)
+
+    sp = sub.add_parser("synth", help="generate a synthetic IQ recording")
+    sp.add_argument("-s", "--settings", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--seconds", type=float, default=2.0)
+    sp.add_argument("--tone", type=float, default=1000.0)
+    sp.add_argument("--amplitude", type=float, default=25.0)
+    sp.add_argument("--noise", type=float, default=1.0)
+    sp.add_argument("--dc", type=float, default=0.0)
+    sp.add_argument("--format", default="u8", choices=["u8", "cf32"])
+    sp.add_argument(
+        "--only", default=None, help="comma-separated topics to include"
+    )
+    sp.set_defaults(fn=cmd_synth)
+
+    sp = sub.add_parser("process-file", help="offline IQ file -> audio files/ZMQ")
+    common(sp, iq_required=True)
+    sp.add_argument("--out", default=None, help="output directory for audio files")
+    sp.add_argument("--zmq", action="store_true", help="also publish over ZMQ")
+    sp.set_defaults(fn=cmd_process_file)
+
+    sp = sub.add_parser("run", help="live receive -> ZMQ (rtl_tcp or looped file)")
+    common(sp)
+    sp.add_argument("--fast", action="store_true", help="don't pace to realtime")
+    sp.set_defaults(fn=cmd_run)
+
+    sp = sub.add_parser("bench", help="throughput benchmark")
+    common(sp)
+    sp.add_argument("--blocks", type=int, default=20)
+    sp.set_defaults(fn=cmd_bench)
+
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    try:
+        return args.fn(args)
+    except (FileNotFoundError, ValueError, IOError) as e:
+        # configuration/usage errors get a clean one-liner, not a traceback
+        # (the reference pops message boxes for these, mainwindow.cpp:19-47)
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

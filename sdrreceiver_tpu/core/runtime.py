@@ -1,0 +1,78 @@
+"""Host pipeline runner: double-buffered ingest -> device step -> egress.
+
+Replaces the reference's thread/ring-buffer runtime (USB callback thread ->
+20-slot ring -> dispatcher thread, jonti/sdr.cpp:100-184).  JAX dispatch is
+asynchronous, so the pipeline overlap falls out naturally: enqueue the step
+for block N, then convert/publish the outputs of block N-1 while the device
+computes — a two-deep software pipeline with no explicit threads.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Iterable, Iterator
+
+import jax
+import numpy as np
+
+from ..obs.metrics import PipelineMetrics
+
+__all__ = ["run_pipeline"]
+
+
+def run_pipeline(
+    rx,
+    blocks: Iterable[np.ndarray],
+    on_outputs: Callable[[dict[str, np.ndarray]], int] | None = None,
+    raw_u8: bool = False,
+    max_blocks: int | None = None,
+    realtime_fs: int | None = None,
+) -> PipelineMetrics:
+    """Drive a CompiledReceiver over a block source.
+
+    Args:
+      rx: CompiledReceiver.
+      blocks: iterator of ``[T] complex64`` (or ``[2T] uint8`` if raw_u8).
+      on_outputs: callback receiving each step's host-side outputs
+        (e.g. ``EgressHub.publish_outputs``); returns messages sent.
+      raw_u8: feed raw dongle bytes and do the LUT on device.
+      max_blocks: stop after N blocks.
+      realtime_fs: if set, pace ingestion to this many samples/second
+        (simulates the dongle's 4-or-5-buffers-per-second cadence).
+
+    Returns PipelineMetrics with throughput/latency figures.
+    """
+    metrics = PipelineMetrics()
+    metrics.start()
+    state = rx.init_state()
+    step = rx.step_u8 if raw_u8 else rx.step_iq
+
+    pending: dict[str, jax.Array] | None = None
+    t_block = rx.block
+    next_deadline = time.perf_counter()
+
+    for i, block in enumerate(blocks):
+        if max_blocks is not None and i >= max_blocks:
+            break
+        t0 = time.perf_counter()
+        state, outs = step(state, block)
+        sent = 0
+        if pending is not None and on_outputs is not None:
+            # publish the previous block's outputs while this one computes
+            sent = on_outputs({k: np.asarray(v) for k, v in pending.items()})
+        pending = outs
+        if realtime_fs:
+            next_deadline += t_block / realtime_fs
+            delay = next_deadline - time.perf_counter()
+            if delay > 0:
+                time.sleep(delay)
+        metrics.record_block(t_block, time.perf_counter() - t0, sent)
+
+    if pending is not None:
+        jax.block_until_ready(pending)
+        if on_outputs is not None:
+            metrics.messages_sent += on_outputs(
+                {k: np.asarray(v) for k, v in pending.items()}
+            )
+    metrics.finish()
+    return metrics

@@ -1,0 +1,119 @@
+"""Throughput/latency counters and roofline accounting.
+
+The reference has zero metrics (SURVEY.md section 5) — drops are a qDebug
+line (jonti/sdr.cpp:107).  Here every pipeline run tracks samples in/out,
+wall time, block latency percentiles, and a static FLOP/byte model of the
+compiled plan so a roofline summary can be printed per chip.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+
+import numpy as np
+
+__all__ = ["PipelineMetrics", "plan_cost_model"]
+
+
+@dataclasses.dataclass
+class PipelineMetrics:
+    samples_in: int = 0
+    blocks: int = 0
+    dropped_blocks: int = 0
+    messages_sent: int = 0
+    started_at: float = 0.0
+    finished_at: float = 0.0
+    block_seconds: list[float] = dataclasses.field(default_factory=list)
+
+    def start(self) -> None:
+        self.started_at = time.perf_counter()
+
+    def finish(self) -> None:
+        self.finished_at = time.perf_counter()
+
+    def record_block(self, n_samples: int, seconds: float, sent: int = 0) -> None:
+        self.samples_in += n_samples
+        self.blocks += 1
+        self.messages_sent += sent
+        self.block_seconds.append(seconds)
+
+    @property
+    def wall_seconds(self) -> float:
+        end = self.finished_at or time.perf_counter()
+        return max(end - self.started_at, 1e-12)
+
+    @property
+    def samples_per_second(self) -> float:
+        return self.samples_in / self.wall_seconds
+
+    def summary(self) -> dict:
+        lat = np.asarray(self.block_seconds[1:] or [0.0])  # skip compile block
+        return {
+            "samples_in": self.samples_in,
+            "blocks": self.blocks,
+            "dropped_blocks": self.dropped_blocks,
+            "messages_sent": self.messages_sent,
+            "wall_seconds": round(self.wall_seconds, 6),
+            "msamples_per_second": round(self.samples_per_second / 1e6, 3),
+            "block_latency_ms": {
+                "p50": round(float(np.percentile(lat, 50)) * 1e3, 3),
+                "p95": round(float(np.percentile(lat, 95)) * 1e3, 3),
+                "max": round(float(lat.max()) * 1e3, 3),
+            },
+        }
+
+    def dump(self) -> str:
+        return json.dumps(self.summary())
+
+
+def plan_cost_model(plan, block: int | None = None) -> dict:
+    """Static FLOPs/bytes per ingest block for a ReceiverPlan — the roofline
+    numerator/denominator (BASELINE.md kernel characterization)."""
+    t = block or plan.block_samples
+    flops = 0.0
+    if plan.dc_correct:
+        flops += 8.0 * t  # complex EMA + subtract
+    for g in plan.groups:
+        tg = t
+        if not g.direct:
+            flops += 8.0 * t  # complex NCO multiply (+ phasor ~transcendental)
+            for s in range(g.stages):
+                # 11-tap symmetric half-band on I and Q at output rate:
+                # 7 multiplies + 11 adds per component (the fused kernel
+                # exploits symmetry; jnp path does 11 MACs) — count the
+                # algorithmic 2*(ntaps) MAC upper bound
+                tg //= 2
+                flops += 2.0 * 2.0 * 11.0 * tg
+            tg = t >> g.stages
+        for b in g.buckets:
+            c = b.channels
+            tb = tg
+            flops += 8.0 * c * tg  # per-channel mix
+            for s in range(b.stages):
+                tb //= 2
+                flops += 2.0 * 2.0 * 11.0 * c * tb
+            if b.late_factor > 1:
+                nl = len(b.late_taps())
+                tb //= b.late_factor
+                flops += 2.0 * 2.0 * nl * c * tb
+            # USB: hilbert 125-tap + delay + subtract
+            flops += c * tb * (2.0 * 125.0 + 2.0)
+            at = b.audio_taps()
+            if at is not None:
+                flops += c * tb * 2.0 * at.shape[1]
+            flops += 3.0 * c * tb  # gain + round + clip
+    bytes_in = 8.0 * t  # complex64 ingest
+    bytes_out = sum(
+        2.0 * (t >> (g.stages + b.stages)) // b.late_factor * b.channels
+        for g in plan.groups
+        for b in g.buckets
+    )
+    return {
+        "block_samples": t,
+        "flops_per_block": flops,
+        "bytes_per_block": bytes_in + bytes_out,
+        "flops_per_input_sample": flops / t,
+        "arithmetic_intensity": flops / (bytes_in + bytes_out),
+    }

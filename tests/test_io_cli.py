@@ -1,0 +1,283 @@
+"""io layer (IQ files, ZMQ wire format, rtl_tcp protocol) + CLI end-to-end."""
+
+import json
+import socket
+import struct
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from sdrreceiver_tpu.io import iqfile, rtltcp, zmqpub
+
+
+class TestIqFile:
+    def test_u8_roundtrip(self, tmp_path, rng):
+        iq = rng.integers(0, 256, 2048).astype(np.float32) - 127
+        x = (iq[0::2] + 1j * iq[1::2]).astype(np.complex64)
+        p = tmp_path / "x.u8"
+        iqfile.write_iq(p, x, "u8")
+        back = iqfile.read_iq(p, "u8")
+        np.testing.assert_array_equal(back, x)
+
+    def test_cf32_roundtrip(self, tmp_path, rng):
+        x = (rng.standard_normal(500) + 1j * rng.standard_normal(500)).astype(np.complex64)
+        p = tmp_path / "x.cf32"
+        iqfile.write_iq(p, x, "cf32")
+        np.testing.assert_array_equal(iqfile.read_iq(p, "cf32"), x)
+
+    def test_u8_value_semantics(self, tmp_path):
+        (tmp_path / "r.u8").write_bytes(bytes([0, 127, 255, 128]))
+        x = iqfile.read_iq(tmp_path / "r.u8", "u8")
+        np.testing.assert_array_equal(x, [-127 + 0j, 128 + 1j])
+
+    def test_iter_blocks(self):
+        x = np.arange(10, dtype=np.complex64)
+        blocks = list(iqfile.iter_blocks(x, 4))
+        assert len(blocks) == 2  # remainder dropped
+        blocks = list(iqfile.iter_blocks(x, 4, pad_final=True))
+        assert len(blocks) == 3 and blocks[2][2] == 0
+
+    def test_unknown_format(self, tmp_path):
+        with pytest.raises(ValueError):
+            iqfile.read_iq(tmp_path / "x", "f64")
+
+
+class TestZmqWireFormat:
+    def test_pack_frames(self):
+        t, r, p = zmqpub.pack_frames("VFO01", 12000, b"\x01\x02")
+        assert t == b"VFO01" and len(t) == 5
+        assert r == struct.pack("<I", 12000)
+        assert p == b"\x01\x02"
+
+    def test_topic_always_5_bytes(self):
+        # reference sends exactly 5 bytes regardless (zmqpublisher.cpp:91)
+        assert zmqpub.pack_frames("AB", 1, b"")[0] == b"AB\x00\x00\x00"
+        assert zmqpub.pack_frames("ABCDEFG", 1, b"")[0] == b"ABCDE"
+
+    def test_pub_sub_roundtrip(self):
+        import zmq
+
+        ctx = zmq.Context.instance()
+        port = 29871
+        pub = zmqpub.Publisher(f"tcp://127.0.0.1:{port}", bind=True, context=ctx)
+        sub = ctx.socket(zmq.SUB)
+        sub.connect(f"tcp://127.0.0.1:{port}")
+        sub.setsockopt(zmq.SUBSCRIBE, b"VFO01")
+        sub.setsockopt(zmq.RCVTIMEO, 5000)
+        time.sleep(0.3)  # late-joiner settle
+        payload = np.arange(16, dtype=np.int16)
+        for _ in range(5):
+            pub.publish("VFO01", 12000, payload)
+            time.sleep(0.05)
+        frames = sub.recv_multipart()
+        assert frames[0] == b"VFO01"
+        assert struct.unpack("<I", frames[1])[0] == 12000
+        np.testing.assert_array_equal(np.frombuffer(frames[2], np.int16), payload)
+        sub.close(linger=0)
+        pub.close()
+
+    def test_empty_payload_skipped(self):
+        import zmq
+
+        ctx = zmq.Context.instance()
+        pub = zmqpub.Publisher("tcp://127.0.0.1:29872", bind=True, context=ctx)
+        pub.publish("VFO01", 12000, b"")  # must not raise, must not send
+        pub.close()
+
+
+class _FakeRtlTcpServer(threading.Thread):
+    """Speaks just enough rtl_tcp: greeting, command capture, one data burst."""
+
+    def __init__(self, n_bytes=4096):
+        super().__init__(daemon=True)
+        self.sock = socket.socket()
+        self.sock.bind(("127.0.0.1", 0))
+        self.sock.listen(1)
+        self.port = self.sock.getsockname()[1]
+        self.commands: list[tuple[int, int]] = []
+        self.n_bytes = n_bytes
+
+    def run(self):
+        conn, _ = self.sock.accept()
+        conn.sendall(b"RTL0" + struct.pack(">II", 5, 29))
+        # read the 5 startup commands
+        for _ in range(5):
+            pkt = b""
+            while len(pkt) < 5:
+                pkt += conn.recv(5 - len(pkt))
+            self.commands.append((pkt[0], struct.unpack(">I", pkt[1:])[0]))
+        conn.sendall(bytes(range(256)) * (self.n_bytes // 256))
+        time.sleep(0.2)
+        conn.close()
+
+
+class TestRtlTcp:
+    def test_protocol(self):
+        srv = _FakeRtlTcpServer()
+        srv.start()
+        cli = rtltcp.RtlTcpClient(f"127.0.0.1:{srv.port}")
+        assert cli.greeting == rtltcp.Greeting(5, 29)
+        cli.configure(1536000, 1545600000, gain_index=7, agc=False)
+        block = cli.read_block(4096)
+        assert block.dtype == np.uint8 and len(block) == 4096
+        np.testing.assert_array_equal(block[:256], np.arange(256, dtype=np.uint8))
+        cli.close()
+        srv.join(timeout=2)
+        assert srv.commands == [
+            (rtltcp.CMD.SET_AGC_MODE, 0),
+            (rtltcp.CMD.SET_TUNER_GAIN_MODE, 1),
+            (rtltcp.CMD.SET_TUNER_GAIN_INDEX, 7),
+            (rtltcp.CMD.SET_SAMPLE_RATE, 1536000),
+            (rtltcp.CMD.SET_FREQ, 1545600000),
+        ]
+
+    def test_bad_magic(self):
+        srv = socket.socket()
+        srv.bind(("127.0.0.1", 0))
+        srv.listen(1)
+        port = srv.getsockname()[1]
+
+        def serve():
+            conn, _ = srv.accept()
+            conn.sendall(b"JUNK" + b"\x00" * 8)
+            time.sleep(0.2)
+            conn.close()
+
+        t = threading.Thread(target=serve, daemon=True)
+        t.start()
+        with pytest.raises(IOError, match="magic"):
+            rtltcp.RtlTcpClient(f"127.0.0.1:{port}")
+
+    def test_bad_address(self):
+        with pytest.raises(ValueError, match="host:port"):
+            rtltcp.RtlTcpClient("localhost")
+
+
+MINI_INI = """
+sample_rate=1536000
+center_frequency=1545600000
+zmq_address=tcp://127.0.0.1:29873
+correct_dc_bias=1
+[main_vfos]
+size=1
+1\\frequency=1545116000
+1\\out_rate=384000
+[vfos]
+size=1
+1\\frequency=1545005146
+1\\gain=5
+1\\data_rate=600
+1\\topic=VFO01
+"""
+
+
+class TestCliEndToEnd:
+    @pytest.fixture()
+    def ini(self, tmp_path):
+        p = tmp_path / "mini.ini"
+        p.write_text(MINI_INI)
+        return str(p)
+
+    def test_synth_process_roundtrip(self, ini, tmp_path, capsys):
+        from sdrreceiver_tpu.cli.main import main
+
+        iq = str(tmp_path / "t.u8")
+        assert (
+            main(
+                [
+                    "synth",
+                    "-s",
+                    ini,
+                    "--out",
+                    iq,
+                    "--seconds",
+                    "0.25",
+                    "--amplitude",
+                    "20",
+                    "--noise",
+                    "1",
+                ]
+            )
+            == 0
+        )
+        synth_info = json.loads(capsys.readouterr().out)
+        assert synth_info["tones"] == {"VFO01": 1000.0}
+
+        outdir = tmp_path / "out"
+        assert (
+            main(
+                [
+                    "process-file",
+                    "-s",
+                    ini,
+                    "--iq",
+                    iq,
+                    "--out",
+                    str(outdir),
+                    "--block",
+                    "49152",
+                ]
+            )
+            == 0
+        )
+        info = json.loads(capsys.readouterr().out)
+        assert info["outputs_written"] == ["audio_VFO01.s16"]
+        audio = np.fromfile(outdir / "audio_VFO01.s16", np.int16)
+        a = audio[1000:].astype(np.float64)
+        spec = np.abs(np.fft.rfft(a * np.hanning(len(a))))
+        peak = np.fft.rfftfreq(len(a), 1 / 12000)[spec.argmax()]
+        assert abs(peak - 1000.0) < 15
+
+    def test_plan_command(self, ini, capsys):
+        from sdrreceiver_tpu.cli.main import main
+
+        assert main(["plan", "-s", ini]) == 0
+        info = json.loads(capsys.readouterr().out)
+        assert info["num_channels"] == 1
+        assert info["groups"][0]["buckets"][0]["topics"] == ["VFO01"]
+        assert info["cost_model"]["flops_per_input_sample"] > 0
+
+    def test_zmq_egress_live(self, ini, tmp_path, capsys):
+        """run --iq: full live path with real ZMQ subscriber."""
+        import zmq
+
+        from sdrreceiver_tpu.cli.main import main
+
+        iq = str(tmp_path / "t.u8")
+        main(["synth", "-s", ini, "--out", iq, "--seconds", "0.25", "--amplitude", "20"])
+        capsys.readouterr()
+
+        ctx = zmq.Context.instance()
+        sub = ctx.socket(zmq.SUB)
+        sub.connect("tcp://127.0.0.1:29873")
+        sub.setsockopt(zmq.SUBSCRIBE, b"VFO01")
+        sub.setsockopt(zmq.RCVTIMEO, 10000)
+
+        t = threading.Thread(
+            target=main,
+            args=(
+                [
+                    "run",
+                    "-s",
+                    ini,
+                    "--iq",
+                    iq,
+                    "--fast",
+                    "--block",
+                    "49152",
+                    "--max-blocks",
+                    "6",
+                ],
+            ),
+            daemon=True,
+        )
+        t.start()
+        frames = sub.recv_multipart()
+        assert frames[0] == b"VFO01"
+        assert struct.unpack("<I", frames[1])[0] == 12000
+        pcm = np.frombuffer(frames[2], np.int16)
+        assert len(pcm) == 49152 // 128
+        t.join(timeout=30)
+        sub.close(linger=0)
