@@ -1,0 +1,72 @@
+"""Headline benchmark: complex Msamples/s/chip through the full channelizer.
+
+Runs the flagship 27-channel sdr_25E-class receiver (DC removal, 2 main-VFO
+mix+cascade groups, 27 sub-VFO mix/decimate/USB-demod/quantize channels) on
+the default JAX device and prints ONE JSON line:
+
+    {"metric": ..., "value": Msps, "unit": "Msamples/s/chip", "vs_baseline": x}
+
+vs_baseline is against BASELINE.json's north star of 1 complex Gsample/s/chip
+through the mix+halfband-decimate+USB-demod chain.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _benchmark_config
+    from sdrreceiver_tpu.graph import build_plan
+    from sdrreceiver_tpu.graph.compiler import CompiledReceiver
+
+    plan = build_plan(_benchmark_config())
+    dev = jax.devices()[0]
+    on_tpu = "tpu" in dev.platform.lower() or "TPU" in str(dev)
+    block = 1536000 if on_tpu else 98304
+    rx = CompiledReceiver(plan, block_samples=block)
+
+    rng = np.random.default_rng(0)
+    iq = jax.device_put(
+        jnp.asarray(
+            (rng.standard_normal(2 * block).astype(np.float32)).view(np.complex64)
+        )
+    )
+
+    state = rx.init_state()
+    # warmup / compile
+    state, out = rx.step_iq(state, iq)
+    jax.block_until_ready(out)
+
+    n_iter = 20 if on_tpu else 5
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        state, out = rx.step_iq(state, iq)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    sps = block * n_iter / dt
+    result = {
+        "metric": "complex Msamples/s/chip through mix+decimate+demod chain (27ch sdr_25E-class)",
+        "value": round(sps / 1e6, 2),
+        "unit": "Msamples/s/chip",
+        "vs_baseline": round(sps / 1e9, 4),
+    }
+    print(json.dumps(result))
+    print(
+        f"device={dev} block={block} iters={n_iter} wall={dt:.3f}s "
+        f"realtime_factor={sps / plan.fs:.1f}",
+        file=sys.stderr,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,159 @@
+"""Time-block sharding with collective halo exchange of streaming state.
+
+The reference's streaming-state discipline — every FIR carrying its last
+``ntaps - 1`` inputs across block boundaries (FIRQueueBackToFront,
+jonti/dsp.cpp:163-173), the NCO carrying phase (oscillator.cpp:39-50), the DC
+EMA carrying its mean (sdrj.cpp:280) — is exactly a halo exchange once a block
+is split across devices along time: shard ``i`` needs the last samples of
+shard ``i-1`` (and shard 0 needs the state carried from the previous block).
+
+These kernels run inside ``jax.shard_map`` over a ``time`` mesh axis:
+
+  * FIR/cascade halos move by ``lax.ppermute`` right-shift (shard 0's missing
+    left neighbor yields zeros, which is exactly where the carried history is
+    substituted)
+  * NCO phase needs no communication at all: shard offsets are computed
+    analytically from the exact integer phase step
+  * the DC EMA crosses shards with an O(n_shards) affine prefix composition
+    on 1-sample summaries (an associative exclusive scan over devices)
+
+Everything here is property-tested against the unsharded kernels:
+time-sharded output == single-device output, bit-for-bit state carry.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..kernels import nco as nco_mod
+from ..kernels.fir import conv_block
+
+__all__ = [
+    "right_halo",
+    "timeshard_cascade_local",
+    "timeshard_mix_local",
+    "timeshard_dc_local",
+]
+
+
+def right_halo(x_local: jax.Array, width: int, axis_name: str) -> jax.Array:
+    """Each shard receives the last ``width`` time samples of its LEFT
+    neighbor (shard 0 receives zeros).  ``x_local [..., T_local]``."""
+    n = lax.axis_size(axis_name)
+    tail = x_local[..., -width:]
+    if n == 1:
+        return jnp.zeros_like(tail)
+    return lax.ppermute(tail, axis_name, [(i, i + 1) for i in range(n - 1)])
+
+
+def _bcast_from_last(v: jax.Array, axis_name: str) -> jax.Array:
+    """Every shard gets the last shard's value (the new carried state)."""
+    n = lax.axis_size(axis_name)
+    if n == 1:
+        return v
+    ag = lax.all_gather(v, axis_name)  # [n, ...]
+    return ag[-1]
+
+
+def timeshard_cascade_local(
+    hists: list[jax.Array],
+    x_local: jax.Array,
+    rtaps: jax.Array,
+    axis_name: str,
+) -> tuple[list[jax.Array], jax.Array]:
+    """Half-band /2 cascade on a time shard; call inside shard_map.
+
+    ``hists`` are the carried block-boundary histories (replicated across
+    shards; only shard 0 consumes them).  Local length must be divisible by
+    ``2**len(hists)``.  Returns (new replicated histories, local output).
+    """
+    idx = lax.axis_index(axis_name)
+    y = x_local
+    new_hists = []
+    for hist in hists:
+        width = hist.shape[-1]
+        halo = right_halo(y, width, axis_name)
+        left = jnp.where(idx == 0, hist, halo)
+        new_hists.append(_bcast_from_last(y[..., -width:], axis_name))
+        _, y = conv_block(left, y, rtaps, stride=2)
+    return new_hists, y
+
+
+def timeshard_mix_local(
+    state: dict,
+    x_local: jax.Array,
+    fs: int,
+    t_local: int,
+    axis_name: str,
+) -> tuple[dict, jax.Array]:
+    """NCO mix on a time shard: zero-communication analytic phase offsets.
+
+    Shard ``i`` mixes with phase ``phase0 + i * (f * t_local mod fs)``; the
+    new carried phase is ``phase0 + n * (f * t_local mod fs)`` — all exact
+    integer arithmetic (kernels.nco), so sharded == unsharded to the bit.
+    """
+    idx = lax.axis_index(axis_name).astype(jnp.uint32)
+    n = lax.axis_size(axis_name)
+    step = nco_mod.block_step_mod(state, fs, t_local)  # [C]
+    local_state = dict(state)
+    local_state["phase"] = (state["phase"] + (idx * step) % fs) % fs
+    _, y = nco_mod.mix_block(local_state, x_local, fs)
+    new_state = dict(state)
+    new_state["phase"] = (state["phase"] + (jnp.uint32(n) * step) % fs) % fs
+    return new_state, y
+
+
+def timeshard_dc_local(
+    mean: jax.Array,
+    x_local: jax.Array,
+    axis_name: str,
+    alpha: float = 1e-6,
+) -> tuple[jax.Array, jax.Array]:
+    """DC-EMA removal on a time shard.
+
+    Within the shard: the same parallel associative scan as kernels.dc.
+    Across shards: each shard reduces to one affine map m -> A*m + B; an
+    all-gather of these n maps (scalars) lets every shard compose its
+    exclusive prefix and apply it to the carried mean.  Matches the sequential
+    recurrence exactly in exact arithmetic.
+    """
+    a = np.float32(1.0 - alpha)
+    al = np.float32(alpha)
+    a_arr = jnp.full(x_local.shape, a, dtype=x_local.real.dtype)
+    from ..kernels.dc import _affine_combine
+
+    pref_a, pref_b = lax.associative_scan(
+        _affine_combine, (a_arr, al * x_local), axis=-1
+    )
+    tot_a, tot_b = pref_a[..., -1], pref_b[..., -1]
+
+    n = lax.axis_size(axis_name)
+    idx = lax.axis_index(axis_name)
+    ag_a = lax.all_gather(tot_a, axis_name)  # [n]
+    ag_b = lax.all_gather(tot_b, axis_name)
+    # exclusive prefix composition of shards 0..idx-1 (n is small/static)
+    acc_a = jnp.ones_like(tot_a)
+    acc_b = jnp.zeros_like(tot_b)
+    for j in range(n - 1):
+        use = j < idx
+        acc_a, acc_b = (
+            jnp.where(use, acc_a * ag_a[j], acc_a),
+            jnp.where(use, acc_b * ag_a[j] + ag_b[j], acc_b),
+        )
+    m0 = acc_a * mean + acc_b  # carried mean at this shard's start
+    m = pref_a * m0 + pref_b
+    y = x_local - m
+    new_mean_a = jnp.ones_like(tot_a)
+    new_mean_b = jnp.zeros_like(tot_b)
+    for j in range(n):
+        new_mean_a, new_mean_b = (
+            new_mean_a * ag_a[j],
+            new_mean_b * ag_a[j] + ag_b[j],
+        )
+    new_mean = new_mean_a * mean + new_mean_b
+    return new_mean, y

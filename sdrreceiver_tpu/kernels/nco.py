@@ -74,16 +74,22 @@ def _phasor(phase, f, f_k, fs: int, t_len: int, conj: bool):
     return jnp.conj(ph) if conj else ph
 
 
-def advance_per_block(state: dict, fs: int, t_len: int) -> jax.Array:
-    """New phase after ``t_len`` samples: ``(phase + f*t_len) mod fs``.
+def block_step_mod(state: dict, fs: int, t_len: int) -> jax.Array:
+    """``(f * t_len) mod fs`` per channel, exactly, without overflow.
 
     ``t_len`` is static, so ``f*t_len mod fs`` is reassembled from the
-    precomputed ``fK`` table without overflow.
+    precomputed ``fK`` table.  Used for per-block phase advance and for the
+    per-shard phase offsets of time sharding (dist layer): shard ``i`` of a
+    block starts at phase ``phase0 + i * block_step_mod(t_shard)``.
     """
     a, b = t_len // _K, t_len % _K
     ft_mod = (state["fK"] * jnp.uint32(a)) % fs
-    ft_mod = (ft_mod + (state["f"] * jnp.uint32(b)) % fs) % fs
-    return (state["phase"] + ft_mod) % fs
+    return (ft_mod + (state["f"] * jnp.uint32(b)) % fs) % fs
+
+
+def advance_per_block(state: dict, fs: int, t_len: int) -> jax.Array:
+    """New phase after ``t_len`` samples: ``(phase + f*t_len) mod fs``."""
+    return (state["phase"] + block_step_mod(state, fs, t_len)) % fs
 
 
 def mix_block(

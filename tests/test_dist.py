@@ -1,0 +1,171 @@
+"""Distribution layer: time-shard halo exchange, channel sharding, and the
+full sharded receiver vs the single-device receiver (8 virtual CPU devices)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from sdrreceiver_tpu.dist import ShardedReceiver, halo, make_mesh
+from sdrreceiver_tpu.graph import build_plan, compile_plan, parse_ini_text
+from sdrreceiver_tpu.kernels import dc, design, halfband, nco
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def shard_map_1d(fn, mesh, in_specs, out_specs):
+    return jax.shard_map(
+        fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False
+    )
+
+
+class TestHaloKernels:
+    def test_cascade_matches_unsharded(self, rng):
+        mesh = make_mesh(n_time=8)
+        x = (rng.standard_normal((2, 4096)) + 1j * rng.standard_normal((2, 4096))).astype(
+            np.complex64
+        )
+        xb = jnp.asarray(x)
+        rt = halfband.cascade_taps(2)
+        hists = [
+            jnp.asarray(
+                (rng.standard_normal((2, 10)) + 1j * rng.standard_normal((2, 10))).astype(
+                    np.complex64
+                )
+            )
+            for _ in range(3)
+        ]
+        ref_h, ref_y = halfband.cascade_apply(hists, xb, rt)
+
+        fn = shard_map_1d(
+            lambda h, xl: halo.timeshard_cascade_local(h, xl, rt, "time"),
+            mesh,
+            in_specs=(P(), P(None, "time")),
+            out_specs=(P(), P(None, "time")),
+        )
+        got_h, got_y = jax.jit(fn)(hists, xb)
+        np.testing.assert_allclose(got_y, ref_y, rtol=1e-6, atol=1e-6)
+        for a, b in zip(got_h, ref_h):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_mix_matches_unsharded(self):
+        mesh = make_mesh(n_time=8)
+        fs, t_len = 192000, 1536
+        st = nco.nco_init([48123], fs)
+        x = jnp.ones((t_len,), jnp.complex64)
+        ref_state, ref_y = nco.mix_block(st, x, fs)
+
+        fn = shard_map_1d(
+            lambda s, xl: halo.timeshard_mix_local(s, xl, fs, t_len // 8, "time"),
+            mesh,
+            in_specs=(P(), P("time")),
+            out_specs=(P(), P(None, "time")),
+        )
+        got_state, got_y = jax.jit(fn)(st, x)
+        np.testing.assert_array_equal(
+            np.asarray(got_state["phase"]), np.asarray(ref_state["phase"])
+        )
+        np.testing.assert_allclose(got_y, ref_y, atol=1e-6)
+
+    def test_dc_matches_unsharded(self, rng):
+        mesh = make_mesh(n_time=8)
+        x = (rng.standard_normal(4096) + 1j * rng.standard_normal(4096) + 5).astype(
+            np.complex64
+        )
+        xb = jnp.asarray(x)
+        m0 = jnp.asarray(0.5 + 0.25j, jnp.complex64)
+        ref_m, ref_y = dc.dc_block(m0, xb)
+        fn = shard_map_1d(
+            lambda m, xl: halo.timeshard_dc_local(m, xl, "time"),
+            mesh,
+            in_specs=(P(), P("time")),
+            out_specs=(P(), P("time")),
+        )
+        got_m, got_y = jax.jit(fn)(m0, xb)
+        np.testing.assert_allclose(got_y, ref_y, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got_m), np.asarray(ref_m), rtol=1e-5)
+
+
+INI = """
+sample_rate=1536000
+center_frequency=1545600000
+zmq_address=tcp://*:6003
+correct_dc_bias=1
+[main_vfos]
+size=2
+1\\frequency=1545116000
+1\\out_rate=384000
+2\\frequency=1546096000
+2\\out_rate=192000
+2\\zmq_address=tcp://127.0.0.1:7777
+2\\zmq_topic=IQFWD
+[vfos]
+size=4
+1\\frequency=1545005146
+1\\gain=5
+1\\data_rate=600
+1\\filter_bandwidth=4000
+1\\topic=VFO01
+2\\frequency=1545214573
+2\\gain=5
+2\\data_rate=600
+2\\topic=VFO02
+3\\frequency=1545219706
+3\\gain=5
+3\\data_rate=600
+3\\topic=VFO03
+4\\frequency=1546005300
+4\\gain=5
+4\\data_rate=10500
+4\\topic=VFO13
+"""
+
+BLOCK = 8 * 16384
+
+
+class TestShardedReceiver:
+    @pytest.fixture(scope="class")
+    def setup(self, ):
+        plan = build_plan(parse_ini_text(INI))
+        rng = np.random.default_rng(9)
+        t_len = 2 * BLOCK
+        n = np.arange(t_len)
+        x = 0.4 * np.exp(2j * np.pi * ((1545005146 - 1545600000) + 900) * n / 1536000)
+        x = x + 0.3 * np.exp(2j * np.pi * ((1546005300 - 1545600000) + 2000) * n / 1536000)
+        x = x + 0.05 * (rng.standard_normal(t_len) + 1j * rng.standard_normal(t_len))
+        x = (x + (2 - 1j)).astype(np.complex64)
+        return plan, x
+
+    def _run(self, rx, x):
+        state = rx.init_state()
+        outs = []
+        for i in range(0, len(x), rx.block):
+            state, o = rx.step_iq(state, jnp.asarray(x[i : i + rx.block]))
+            outs.append({k: np.asarray(v) for k, v in o.items()})
+        return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
+
+    @pytest.mark.parametrize("shape", [(8, 1), (4, 2), (2, 4)])
+    def test_matches_single_device(self, setup, shape):
+        plan, x = setup
+        ref = self._run(compile_plan(plan, BLOCK), x)
+        mesh = make_mesh(n_time=shape[0], n_chan=shape[1])
+        got = self._run(ShardedReceiver(plan, mesh, BLOCK), x)
+        assert set(got) == set(ref)
+        for k in ref:
+            if k.startswith("iq/"):
+                np.testing.assert_array_equal(got[k], ref[k], err_msg=k)
+            else:
+                # the sharded DC prefix scan reorders float adds; allow a
+                # <=1-LSB flip at int16 quantizer boundaries (rare: ~1/50k)
+                d = np.abs(got[k].astype(np.int32) - ref[k].astype(np.int32))
+                assert d.max() <= 1, k
+                assert (d > 0).mean() < 1e-3, k
+
+    def test_block_divisibility_enforced(self, setup):
+        plan, _ = setup
+        mesh = make_mesh(n_time=8)
+        with pytest.raises(ValueError, match="n_time"):
+            ShardedReceiver(plan, mesh, block_samples=plan.block_divisor() * 4)
