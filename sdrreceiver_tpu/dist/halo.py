@@ -116,44 +116,32 @@ def timeshard_dc_local(
 ) -> tuple[jax.Array, jax.Array]:
     """DC-EMA removal on a time shard.
 
-    Within the shard: the same parallel associative scan as kernels.dc.
-    Across shards: each shard reduces to one affine map m -> A*m + B; an
-    all-gather of these n maps (scalars) lets every shard compose its
-    exclusive prefix and apply it to the carried mean.  Matches the sequential
-    recurrence exactly in exact arithmetic.
+    Within the shard: the same blocked closed-form prefix as kernels.dc.
+    Across shards: each shard reduces to one affine map m -> A*m + B with
+    constant A = a^T_local; an all-gather of the n scalar B's lets every
+    shard compose its exclusive prefix and apply it to the carried mean.
     """
-    a = np.float32(1.0 - alpha)
-    al = np.float32(alpha)
-    a_arr = jnp.full(x_local.shape, a, dtype=x_local.real.dtype)
-    from ..kernels.dc import _affine_combine
+    from ..kernels import dc as dc_mod
 
-    pref_a, pref_b = lax.associative_scan(
-        _affine_combine, (a_arr, al * x_local), axis=-1
-    )
-    tot_a, tot_b = pref_a[..., -1], pref_b[..., -1]
+    t_local = x_local.shape[-1]
+    v = dc_mod.zero_prefix(x_local, alpha)  # local prefix with m0 = 0
+    b_tot = v[..., -1]
+    a_t = np.float32(dc_mod.decay_pow(alpha, float(t_local)))
 
     n = lax.axis_size(axis_name)
     idx = lax.axis_index(axis_name)
-    ag_a = lax.all_gather(tot_a, axis_name)  # [n]
-    ag_b = lax.all_gather(tot_b, axis_name)
-    # exclusive prefix composition of shards 0..idx-1 (n is small/static)
-    acc_a = jnp.ones_like(tot_a)
-    acc_b = jnp.zeros_like(tot_b)
-    for j in range(n - 1):
-        use = j < idx
-        acc_a, acc_b = (
-            jnp.where(use, acc_a * ag_a[j], acc_a),
-            jnp.where(use, acc_b * ag_a[j] + ag_b[j], acc_b),
-        )
-    m0 = acc_a * mean + acc_b  # carried mean at this shard's start
-    m = pref_a * m0 + pref_b
-    y = x_local - m
-    new_mean_a = jnp.ones_like(tot_a)
-    new_mean_b = jnp.zeros_like(tot_b)
+    ag_b = lax.all_gather(b_tot, axis_name)  # [n]
+    # exclusive prefix: carried mean at this shard's start (n static, tiny)
+    m0 = mean
+    new_mean = mean
     for j in range(n):
-        new_mean_a, new_mean_b = (
-            new_mean_a * ag_a[j],
-            new_mean_b * ag_a[j] + ag_b[j],
+        new_mean = a_t * new_mean + ag_b[j]
+        m0 = jnp.where(j < idx, a_t * m0 + ag_b[j], m0)
+    a_n1 = jnp.asarray(
+        dc_mod.decay_pow(alpha, np.arange(1, t_local + 1, dtype=np.float64)).astype(
+            np.float32
         )
-    new_mean = new_mean_a * mean + new_mean_b
+    )
+    m = a_n1 * m0 + v
+    y = x_local - m
     return new_mean, y

@@ -75,7 +75,7 @@ class CompiledReceiver:
                 c = b.channels
                 self._consts[f"{bk}/hb"] = fir.prepare_taps(hb, c)
                 self._consts[f"{bk}/hilbert"] = fir.prepare_taps(hilb, c)
-                self._consts[f"{bk}/gains"] = jnp.asarray(b.gains())
+                self._consts[f"{bk}/gains"] = b.gains()
                 lt = b.late_taps()
                 if lt is not None:
                     self._consts[f"{bk}/late"] = fir.prepare_taps(lt, c)

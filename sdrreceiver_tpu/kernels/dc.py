@@ -1,31 +1,41 @@
-"""DC-bias removal: one-pole EMA high-pass, as a parallel associative scan.
+"""DC-bias removal: one-pole EMA high-pass, evaluated block-parallel.
 
 The reference runs, per complex sample (sdrj.cpp:277-283):
 
     avept = avept*(1 - 1e-6) + 1e-6*curr ;  curr -= avept
 
-— a strictly sequential recurrence carried in a function-local static.  On
-TPU the same recurrence is evaluated for a whole block in O(log T) parallel
-steps with ``jax.lax.associative_scan`` over affine-map composition:
+— a strictly sequential recurrence carried in a function-local static.  The
+closed form of the recurrence ``m[n] = a*m[n-1] + alpha*x[n]`` is
 
-    m[n] = A[n]*m[n-1] + B[n]        (A = 1-alpha, B = alpha*x[n])
-    (A2,B2) o (A1,B1) = (A1*A2, B1*A2 + B2)
+    m[n] = a^(n+1)*m0 + alpha * sum_{i<=n} a^(n-i) x[i]
 
-and the carried state is the single complex mean, exactly like the reference.
-Note the reference subtracts the *updated* mean (including the current
-sample); reproduced here.
+and because ``a = 1 - 1e-6`` decays slowly, the exponentials stay in a tame
+range (a^-n < e^5 for any realistic block), so the weighted prefix sum can be
+computed DIRECTLY with two cumsums — one along a 2048-wide inner block axis,
+one across blocks — instead of a sequential scan.  This lowers to a handful
+of regular XLA ops (a ``lax.associative_scan`` at 1.5M elements took minutes
+of TPU compile; this compiles in ~1 s) and keeps relative error ~1e-4 on the
+DC estimate (error floor ~-80 dB, far below the 60 dB audio bound).
+
+Exposed pieces: ``dc_block`` (the streaming block op) and ``zero_prefix``
+(the m0=0 prefix, reused by the time-sharded variant in dist.halo where the
+carried mean crosses device shards as a tiny affine composition).
 """
 
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["dc_init", "dc_block", "DEFAULT_ALPHA"]
+__all__ = ["dc_init", "dc_block", "zero_prefix", "decay_pow", "DEFAULT_ALPHA"]
 
 #: The reference's EMA coefficient (sdrj.cpp:11 ``val = 0.000001``).
 DEFAULT_ALPHA = 1e-6
+
+_BLOCK = 2048
 
 
 def dc_init(dtype=jnp.complex64) -> jax.Array:
@@ -33,26 +43,62 @@ def dc_init(dtype=jnp.complex64) -> jax.Array:
     return jnp.zeros((), dtype=dtype)
 
 
-def _affine_combine(left, right):
-    a1, b1 = left
-    a2, b2 = right
-    return a1 * a2, b1 * a2 + b2
+def decay_pow(alpha: float, n) -> np.ndarray | float:
+    """a^n in float64 on the host (a = 1-alpha), returned as float32-safe."""
+    return np.exp(np.multiply(n, np.log1p(-alpha), dtype=np.float64))
+
+
+@functools.partial(jax.jit, static_argnames=("alpha", "t_len"))
+def _zero_prefix_impl(x: jax.Array, alpha: float, t_len: int) -> jax.Array:
+    b = min(_BLOCK, t_len)
+    nb = -(-t_len // b)
+    pad = nb * b - t_len
+    lead = x.shape[:-1]
+
+    j = np.arange(b, dtype=np.float64)
+    a_negi = jnp.asarray(decay_pow(alpha, -j).astype(np.float32))
+    a_j = jnp.asarray(decay_pow(alpha, j).astype(np.float32))
+    kb = np.arange(nb, dtype=np.float64)
+    a_bk_neg = jnp.asarray(decay_pow(alpha, -b * kb).astype(np.float32))
+    a_bk_pos = jnp.asarray(decay_pow(alpha, b * kb).astype(np.float32))
+
+    xp = jnp.pad(x, [(0, 0)] * len(lead) + [(0, pad)]) if pad else x
+    xb = xp.reshape(*lead, nb, b)
+    # v[k, j] = alpha * sum_{i<=j} a^(j-i) x[k, i]   (within-block prefix)
+    v = np.float32(alpha) * a_j * jnp.cumsum(xb * a_negi, axis=-1)
+    bk = v[..., -1]  # block totals
+    # across blocks: m_end(k) = a^B m_end(k-1) + bk[k]  (m0 = 0), i.e.
+    # P[k] = sum_{t<=k} a^(B(k-t)) bk[t] = a^(Bk) cumsum(bk[t] a^(-Bt))[k]
+    p = jnp.cumsum(bk * a_bk_neg, axis=-1) * a_bk_pos
+    # carry into block k is m_end(k-1); decays as a^(j+1) inside block k
+    e = jnp.concatenate(
+        [jnp.zeros_like(p[..., :1]), p[..., :-1]], axis=-1
+    )
+    # full prefix with m0=0: m[k, j] = a^(j+1) * E[k] + v[k, j]
+    a_j1 = jnp.asarray(decay_pow(alpha, j + 1.0).astype(np.float32))
+    m = a_j1 * e[..., None] + v
+    m = m.reshape(*lead, nb * b)
+    return m[..., :t_len]
+
+
+def zero_prefix(x: jax.Array, alpha: float = DEFAULT_ALPHA) -> jax.Array:
+    """``m`` for the whole block assuming zero initial mean (``[..., T]``)."""
+    return _zero_prefix_impl(x, alpha, x.shape[-1])
 
 
 def dc_block(
     mean: jax.Array, x: jax.Array, alpha: float = DEFAULT_ALPHA
 ) -> tuple[jax.Array, jax.Array]:
-    """Remove DC from a ``[T]`` (or ``[..., T]``) block.
+    """Remove DC from a ``[..., T]`` block.
 
-    Returns (new_mean, y) with ``y[n] = x[n] - m[n]`` and the EMA mean ``m``
-    threaded exactly across block boundaries (chunked == whole).
+    Returns (new_mean, y) with ``y[n] = x[n] - m[n]`` and the EMA mean
+    threaded across block boundaries (chunked == whole up to float rounding).
     """
-    a = np.float32(1.0 - alpha)
-    al = np.float32(alpha)
-    a_arr = jnp.full(x.shape, a, dtype=x.real.dtype)
-    prefix_a, prefix_b = jax.lax.associative_scan(
-        _affine_combine, (a_arr, al * x), axis=-1
+    t_len = x.shape[-1]
+    v = zero_prefix(x, alpha)
+    a_n1 = jnp.asarray(
+        decay_pow(alpha, np.arange(1, t_len + 1, dtype=np.float64)).astype(np.float32)
     )
-    m = prefix_a * mean + prefix_b
+    m = a_n1 * mean + v
     y = x - m
     return m[..., -1], y

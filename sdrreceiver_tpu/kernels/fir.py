@@ -43,8 +43,11 @@ def prepare_taps(taps, channels: int | None = None) -> jnp.ndarray:
         t = t[None, :]
     if channels is not None and t.shape[0] == 1 and channels != 1:
         t = np.broadcast_to(t, (channels, t.shape[1])).copy()
-    # reverse into correlation order (XLA convs do not flip kernels)
-    return jnp.asarray(t[:, ::-1].copy())
+    # Reverse into correlation order (XLA convs do not flip kernels).
+    # Returned as a HOST numpy array on purpose: jit traces embed it as an IR
+    # constant directly; a device array here would need a device->host fetch
+    # at trace time, which remote TPU backends may not support.
+    return t[:, ::-1].copy()
 
 
 def conv_block(

@@ -55,7 +55,8 @@ def oss_prepare(taps, channels: int | None = None, nfft: int | None = None):
     hpad = np.zeros((t.shape[0], nfft), dtype=np.float32)
     hpad[:, :ntaps] = t
     return {
-        "H": jnp.asarray(np.fft.fft(hpad, axis=-1).astype(np.complex64)),
+        # host numpy on purpose — embeds as an IR constant at trace time
+        "H": np.fft.fft(hpad, axis=-1).astype(np.complex64),
         "ntaps": ntaps,
         "nfft": nfft,
     }
