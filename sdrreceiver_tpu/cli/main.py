@@ -180,10 +180,39 @@ def cmd_run(args) -> int:
         client.configure(
             plan.fs, plan.center_frequency, cfg.remote_rtl_gain_idx, agc=False
         )
-        raw_blocks = (
-            jnp.asarray(b) for b in client.iter_blocks(2 * rx.block)
-        )
         try:
+            from ..io import native
+
+            if native.available():
+                # native ring between the socket reader thread and the device
+                # pipeline (the reference's 20-slot ring, jonti/sdr.cpp:100-184)
+                import threading
+
+                ring = native.IngestRing(block_bytes=2 * rx.block, n_slots=20)
+
+                def reader():
+                    try:
+                        for b in client.iter_blocks(2 * rx.block):
+                            ring.push(b)  # drop-on-full like the reference
+                    except Exception:
+                        pass
+                    finally:
+                        ring.close()
+
+                threading.Thread(target=reader, daemon=True).start()
+
+                def ring_blocks():
+                    while True:
+                        b = ring.pop_raw(timeout_ms=5000)
+                        if b is None:
+                            return
+                        yield jnp.asarray(b)
+
+                raw_blocks = ring_blocks()
+            else:
+                raw_blocks = (
+                    jnp.asarray(b) for b in client.iter_blocks(2 * rx.block)
+                )
             metrics = run_pipeline(
                 rx,
                 raw_blocks,

@@ -239,6 +239,86 @@ class TestCliEndToEnd:
         assert info["groups"][0]["buckets"][0]["topics"] == ["VFO01"]
         assert info["cost_model"]["flops_per_input_sample"] > 0
 
+    def test_rtl_tcp_live_ingest(self, ini, tmp_path, capsys):
+        """Full live path: fake rtl_tcp server -> native ring -> device
+        pipeline -> ZMQ, driven through the real `run` command."""
+        import zmq
+
+        from sdrreceiver_tpu.cli.main import main
+        from sdrreceiver_tpu.io import iqfile
+
+        # synthesize a u8 stream with VFO01's tone and serve it over rtl_tcp
+        block = 49152
+        iq = iqfile.synthesize_channels(
+            4 * block, 1536000, 1545600000, [(1545005146, 1000.0, 25.0)], noise=1.0
+        )
+        inter = np.empty(2 * len(iq), np.float32)
+        inter[0::2], inter[1::2] = iq.real, iq.imag
+        raw = np.clip(np.round(inter + 127.0), 0, 255).astype(np.uint8).tobytes()
+
+        class StreamServer(threading.Thread):
+            def __init__(self):
+                super().__init__(daemon=True)
+                self.sock = socket.socket()
+                self.sock.bind(("127.0.0.1", 0))
+                self.sock.listen(1)
+                self.port = self.sock.getsockname()[1]
+
+            def run(self):
+                conn, _ = self.sock.accept()
+                conn.sendall(b"RTL0" + struct.pack(">II", 5, 29))
+                got = b""
+                while len(got) < 25:  # 5 startup commands
+                    got += conn.recv(25 - len(got))
+                try:
+                    for _ in range(3):  # loop the recording a few times
+                        conn.sendall(raw)
+                    time.sleep(1.0)
+                    conn.close()
+                except OSError:
+                    pass
+
+        srv = StreamServer()
+        srv.start()
+
+        port = 29874
+        rtl_ini = tmp_path / "rtl.ini"
+        # remote_rtl must be a GLOBAL key: prepend (appending would land it
+        # inside the [vfos] section)
+        rtl_ini.write_text(
+            f"remote_rtl=127.0.0.1:{srv.port}\n"
+            + MINI_INI.replace("tcp://127.0.0.1:29873", f"tcp://127.0.0.1:{port}")
+        )
+
+        ctx = zmq.Context.instance()
+        sub = ctx.socket(zmq.SUB)
+        sub.connect(f"tcp://127.0.0.1:{port}")
+        sub.setsockopt(zmq.SUBSCRIBE, b"VFO01")
+        sub.setsockopt(zmq.RCVTIMEO, 20000)
+
+        t = threading.Thread(
+            target=main,
+            args=(
+                [
+                    "run",
+                    "-s",
+                    str(rtl_ini),
+                    "--block",
+                    str(block),
+                    "--max-blocks",
+                    "8",
+                ],
+            ),
+            daemon=True,
+        )
+        t.start()
+        frames = sub.recv_multipart()
+        assert frames[0] == b"VFO01"
+        pcm = np.frombuffer(frames[2], np.int16)
+        assert len(pcm) == block // 128
+        t.join(timeout=60)
+        sub.close(linger=0)
+
     def test_zmq_egress_live(self, ini, tmp_path, capsys):
         """run --iq: full live path with real ZMQ subscriber."""
         import zmq
