@@ -121,10 +121,18 @@ def cmd_process_file(args) -> int:
     _apply_backend(args.backend)
     import jax.numpy as jnp
 
+    from ..core import checkpoint
     from ..core.runtime import run_pipeline
+    from ..graph import build_plan, compile_plan, load_ini
     from ..io import iqfile, zmqpub
+    from ..obs.spectrum import SpectrumEMA
 
-    cfg, plan, rx = _build(args, args.block)
+    from ..graph.compiler import CompiledReceiver
+
+    cfg = load_ini(args.settings)
+    plan = build_plan(cfg)
+    taps = (args.spectrum,) if args.spectrum else ()
+    rx = CompiledReceiver(plan, args.block, emit_taps=taps)
     iq = iqfile.read_iq(args.iq, args.format)
     outdir = pathlib.Path(args.out) if args.out else None
     if outdir:
@@ -132,16 +140,30 @@ def cmd_process_file(args) -> int:
 
     hub = zmqpub.EgressHub(plan) if args.zmq else None
     sink: dict[str, list[np.ndarray]] = {}
+    spectrum = SpectrumEMA() if args.spectrum else None
+    spec_count = [0]
 
     def on_outputs(outs: dict[str, np.ndarray]) -> int:
         sent = hub.publish_outputs(outs) if hub else 0
-        if outdir is not None:
-            for k, v in outs.items():
+        for k, v in outs.items():
+            if k.startswith("tap/"):
+                # the reference strides its display FFT by 5 buffers
+                # (sdrj.cpp:296-303); same cadence here
+                if spectrum is not None and spec_count[0] % 5 == 0:
+                    spectrum.update(v)
+                spec_count[0] += 1
+            elif outdir is not None:
                 sink.setdefault(k, []).append(v)
         return sent
 
+    state = None
+    if args.resume:
+        state = checkpoint.load_state(args.resume, rx.init_state(), plan)
     blocks = (jnp.asarray(b) for b in iqfile.iter_blocks(iq, rx.block))
-    metrics = run_pipeline(rx, blocks, on_outputs, max_blocks=args.max_blocks)
+    metrics, final_state = run_pipeline(
+        rx, blocks, on_outputs, max_blocks=args.max_blocks, state=state,
+        return_state=True,
+    )
 
     written = []
     if outdir is not None:
@@ -150,6 +172,12 @@ def cmd_process_file(args) -> int:
             name = k.replace("/", "_") + (".s16" if k.startswith("audio") else ".bin")
             data.tofile(outdir / name)
             written.append(name)
+        if spectrum is not None:
+            name = f"spectrum_{args.spectrum}.npy"
+            np.save(outdir / name, spectrum.smoothed)
+            written.append(name)
+    if args.save_state:
+        checkpoint.save_state(args.save_state, final_state, plan)
     if hub:
         hub.close()
 
@@ -325,6 +353,16 @@ def build_parser() -> argparse.ArgumentParser:
     common(sp, iq_required=True)
     sp.add_argument("--out", default=None, help="output directory for audio files")
     sp.add_argument("--zmq", action="store_true", help="also publish over ZMQ")
+    sp.add_argument(
+        "--spectrum",
+        default=None,
+        metavar="TAP",
+        help="export an EMA spectrum of a tap ('main' or 'g<i>') to --out",
+    )
+    sp.add_argument("--resume", default=None, help="resume from a state checkpoint")
+    sp.add_argument(
+        "--save-state", default=None, help="write the final state checkpoint here"
+    )
     sp.set_defaults(fn=cmd_process_file)
 
     sp = sub.add_parser("run", help="live receive -> ZMQ (rtl_tcp or looped file)")

@@ -27,7 +27,9 @@ def run_pipeline(
     raw_u8: bool = False,
     max_blocks: int | None = None,
     realtime_fs: int | None = None,
-) -> PipelineMetrics:
+    state=None,
+    return_state: bool = False,
+):
     """Drive a CompiledReceiver over a block source.
 
     Args:
@@ -39,12 +41,15 @@ def run_pipeline(
       max_blocks: stop after N blocks.
       realtime_fs: if set, pace ingestion to this many samples/second
         (simulates the dongle's 4-or-5-buffers-per-second cadence).
+      state: resume from this state pytree (default: fresh rx.init_state()).
+      return_state: also return the final state (for checkpointing).
 
-    Returns PipelineMetrics with throughput/latency figures.
+    Returns PipelineMetrics (or (metrics, final_state) with return_state).
     """
     metrics = PipelineMetrics()
     metrics.start()
-    state = rx.init_state()
+    if state is None:
+        state = rx.init_state()
     step = rx.step_u8 if raw_u8 else rx.step_iq
 
     pending: dict[str, jax.Array] | None = None
@@ -75,4 +80,6 @@ def run_pipeline(
                 {k: np.asarray(v) for k, v in pending.items()}
             )
     metrics.finish()
+    if return_state:
+        return metrics, state
     return metrics

@@ -50,9 +50,23 @@ class CompiledReceiver:
     ZMQ wire format carries, zmqpublisher.cpp:85-92).
     """
 
-    def __init__(self, plan: ReceiverPlan, block_samples: int | None = None):
+    def __init__(
+        self,
+        plan: ReceiverPlan,
+        block_samples: int | None = None,
+        emit_taps: tuple[str, ...] = (),
+    ):
+        """``emit_taps``: also output intermediate baseband for observability
+        — "main" (post-DC input) and/or "g<i>" (group-cascade output), the
+        signals the reference's scope displays (sdrj.cpp:296-303,
+        vfo.cpp:290-295).  Keys appear as ``tap/...`` outputs."""
         self.plan = plan
         self.block = int(block_samples or plan.block_samples)
+        self.emit_taps = tuple(emit_taps)
+        valid = {"main"} | {f"g{g.index}" for g in plan.groups}
+        bad = set(self.emit_taps) - valid
+        if bad:
+            raise ValueError(f"unknown taps {sorted(bad)}; valid: {sorted(valid)}")
         div = plan.block_divisor()
         if self.block % div:
             raise ValueError(
@@ -122,6 +136,8 @@ class CompiledReceiver:
             new_state["dc"], x = dc.dc_block(state["dc"], iq)
         else:
             new_state["dc"], x = state["dc"], iq
+        if "main" in self.emit_taps:
+            outputs["tap/main"] = x
 
         for g in plan.groups:
             gk = f"g{g.index}"
@@ -134,6 +150,8 @@ class CompiledReceiver:
                 ngs["cascade"], z = halfband.cascade_apply(
                     gs["cascade"], z, self._consts[f"{gk}/hb"]
                 )
+            if gk in self.emit_taps:
+                outputs[f"tap/{gk}"] = z[0]
             if g.publishes_iq:
                 outputs[f"iq/{g.zmq_topic}"] = compress.compress_style1(
                     z[0], float(g.compress_scale)

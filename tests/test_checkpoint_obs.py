@@ -1,0 +1,171 @@
+"""Checkpoint/resume of streaming state + spectrum observability."""
+
+import json
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sdrreceiver_tpu.core import checkpoint
+from sdrreceiver_tpu.graph import build_plan, parse_ini_text
+from sdrreceiver_tpu.graph.compiler import CompiledReceiver
+from sdrreceiver_tpu.io import iqfile
+from sdrreceiver_tpu.obs.spectrum import SpectrumEMA, power_spectrum
+
+INI = """
+sample_rate=1536000
+center_frequency=1545600000
+zmq_address=tcp://*:6003
+correct_dc_bias=1
+[main_vfos]
+size=1
+1\\frequency=1545116000
+1\\out_rate=384000
+[vfos]
+size=1
+1\\frequency=1545005146
+1\\gain=5
+1\\data_rate=600
+1\\topic=VFO01
+"""
+
+BLOCK = 24576
+
+
+@pytest.fixture(scope="module")
+def plan():
+    return build_plan(parse_ini_text(INI))
+
+
+@pytest.fixture(scope="module")
+def iq():
+    return iqfile.synthesize_channels(
+        4 * BLOCK, 1536000, 1545600000, [(1545005146, 1000.0, 20.0)], noise=1.0
+    )
+
+
+class TestCheckpoint:
+    def test_resume_is_seamless(self, plan, iq, tmp_path):
+        """Process 4 blocks straight vs 2 + checkpoint + restore + 2: the
+        audio must be bit-identical (no restart glitch — the improvement over
+        the reference's stateless restart, SURVEY.md section 5)."""
+        rx = CompiledReceiver(plan, BLOCK)
+        state = rx.init_state()
+        whole = []
+        for i in range(4):
+            state, o = rx.step_iq(state, jnp.asarray(iq[i * BLOCK : (i + 1) * BLOCK]))
+            whole.append(np.asarray(o["audio/VFO01"]))
+        whole = np.concatenate(whole)
+
+        state = rx.init_state()
+        first = []
+        for i in range(2):
+            state, o = rx.step_iq(state, jnp.asarray(iq[i * BLOCK : (i + 1) * BLOCK]))
+            first.append(np.asarray(o["audio/VFO01"]))
+        ck = tmp_path / "state.npz"
+        checkpoint.save_state(ck, state, plan)
+
+        # "restart": fresh receiver, restore
+        rx2 = CompiledReceiver(plan, BLOCK)
+        state2 = checkpoint.load_state(ck, rx2.init_state(), plan)
+        second = []
+        for i in range(2, 4):
+            state2, o = rx2.step_iq(state2, jnp.asarray(iq[i * BLOCK : (i + 1) * BLOCK]))
+            second.append(np.asarray(o["audio/VFO01"]))
+        resumed = np.concatenate(first + second)
+        np.testing.assert_array_equal(resumed, whole)
+
+    def test_fingerprint_mismatch_rejected(self, plan, tmp_path):
+        rx = CompiledReceiver(plan, BLOCK)
+        ck = tmp_path / "s.npz"
+        checkpoint.save_state(ck, rx.init_state(), plan)
+        other = build_plan(parse_ini_text(INI.replace("1545005146", "1545005000")))
+        rx2 = CompiledReceiver(other, BLOCK)
+        with pytest.raises(ValueError, match="fingerprint"):
+            checkpoint.load_state(ck, rx2.init_state(), other)
+
+
+class TestSpectrum:
+    def test_power_spectrum_units(self):
+        """A full-scale complex tone in the reference's display units:
+        10*log10(1e5 * |X|/nfft) with Hann windowing halving the peak."""
+        nfft = 8192
+        n = np.arange(nfft)
+        f_bin = 1024
+        x = np.exp(2j * np.pi * f_bin * n / nfft).astype(np.complex64)
+        spec = np.asarray(power_spectrum(jnp.asarray(x), nfft))
+        peak_idx = int(np.argmax(spec))
+        # fftshifted: bin f_bin lands at nfft//2 + f_bin
+        assert peak_idx == nfft // 2 + f_bin
+        # Hann coherent gain 0.5 -> |X| = nfft/2 -> 10*log10(1e5*0.5) ~ 47 dB
+        assert abs(spec[peak_idx] - 10 * np.log10(1e5 * 0.5)) < 0.1
+
+    def test_ema_and_smoothing(self, rng):
+        s = SpectrumEMA(nfft=256, alpha=0.5)
+        x = rng.standard_normal(256) + 1j * rng.standard_normal(256)
+        s.update(x.astype(np.complex64))
+        s.update(x.astype(np.complex64))
+        assert s.pwr.shape == (256,)
+        assert s.smoothed.shape == (246,)
+
+    def test_tap_outputs(self, plan, iq):
+        rx = CompiledReceiver(plan, BLOCK, emit_taps=("main", "g0"))
+        state = rx.init_state()
+        _, o = rx.step_iq(state, jnp.asarray(iq[:BLOCK]))
+        assert o["tap/main"].shape == (BLOCK,)
+        assert o["tap/g0"].shape == (BLOCK // 4,)
+
+    def test_invalid_tap_rejected(self, plan):
+        with pytest.raises(ValueError, match="unknown taps"):
+            CompiledReceiver(plan, BLOCK, emit_taps=("g9",))
+
+
+class TestCliIntegration:
+    def test_process_file_with_spectrum_and_checkpoint(self, plan, iq, tmp_path, capsys):
+        from sdrreceiver_tpu.cli.main import main
+
+        ini = tmp_path / "c.ini"
+        ini.write_text(INI)
+        iqf = tmp_path / "c.u8"
+        iqfile.write_iq(iqf, iq, "u8")
+        outdir = tmp_path / "out"
+        ck = tmp_path / "ck.npz"
+        rc = main(
+            [
+                "process-file",
+                "-s",
+                str(ini),
+                "--iq",
+                str(iqf),
+                "--out",
+                str(outdir),
+                "--block",
+                str(BLOCK),
+                "--spectrum",
+                "main",
+                "--save-state",
+                str(ck),
+            ]
+        )
+        assert rc == 0
+        info = json.loads(capsys.readouterr().out)
+        assert "spectrum_main.npy" in info["outputs_written"]
+        spec = np.load(outdir / "spectrum_main.npy")
+        assert spec.shape == (8192 - 10,)
+        assert ck.exists()
+
+        # resume run must load cleanly
+        rc = main(
+            [
+                "process-file",
+                "-s",
+                str(ini),
+                "--iq",
+                str(iqf),
+                "--block",
+                str(BLOCK),
+                "--resume",
+                str(ck),
+            ]
+        )
+        assert rc == 0
