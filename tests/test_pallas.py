@@ -1,0 +1,106 @@
+"""Fused mix+cascade Pallas kernel vs the jnp reference kernels.
+
+Runs in Pallas interpreter mode on CPU; the same kernel compiles on TPU
+(validated separately by tools/tpu_validate.py and the bench)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sdrreceiver_tpu.kernels import halfband, nco
+from sdrreceiver_tpu.pallas.frontend import MixCascadeKernel, supported
+
+
+def jnp_reference(freqs, fs, stages, x):
+    """mix + cascade via the golden jnp kernels (complex in, complex out)."""
+    st = nco.nco_init(freqs, fs)
+    _, z = nco.mix_block(st, jnp.asarray(x), fs)
+    rt = halfband.cascade_taps(len(freqs))
+    hists = halfband.cascade_init(len(freqs), stages)
+    _, y = halfband.cascade_apply(hists, z, rt)
+    return np.asarray(y)
+
+
+def run_fused(freqs, fs, stages, x, chunks=1):
+    c = len(freqs)
+    t_len = x.shape[-1] // chunks
+    k = MixCascadeKernel(c, stages, fs, freqs, t_len, interpret=True)
+    phase = jnp.zeros((c,), jnp.int32)
+    hists = k.init_hists()
+    outs = []
+    xr = jnp.asarray(np.real(x).astype(np.float32))
+    xi = jnp.asarray(np.imag(x).astype(np.float32))
+    if xr.ndim == 1:
+        xr = jnp.broadcast_to(xr, (c, xr.shape[0]))
+        xi = jnp.broadcast_to(xi, (c, xi.shape[0]))
+    for i in range(chunks):
+        sl = slice(i * t_len, (i + 1) * t_len)
+        yr, yi, hists = k(phase, hists, xr[:, sl], xi[:, sl])
+        phase = jnp.asarray(nco.advance_per_block(
+            {"phase": phase.astype(jnp.uint32),
+             "f": jnp.asarray(np.mod(freqs, fs).astype(np.uint32)),
+             "fK": jnp.asarray((np.mod(freqs, fs).astype(np.int64) * 2048 % fs).astype(np.uint32))},
+            fs, t_len,
+        ), dtype=jnp.int32)
+        outs.append(np.asarray(yr) + 1j * np.asarray(yi))
+    return np.concatenate(outs, axis=-1)
+
+
+class TestSupported:
+    def test_constraints(self):
+        assert supported(1536000, 2, 1536 * 256)
+        assert not supported(1536000, 2, 1000)  # not a multiple of 256
+        assert not supported(1536000, 8, 256 * 64)  # too many stages
+        assert not supported(5_000_000, 2, 256 * 64)  # fs too big for int32
+
+
+class TestMixCascade:
+    @pytest.mark.parametrize("stages", [0, 1, 2, 3, 5])
+    def test_matches_jnp_single_channel(self, rng, stages):
+        fs = 192000
+        t_len = 256 * 32
+        x = (rng.standard_normal(t_len) + 1j * rng.standard_normal(t_len)).astype(
+            np.complex64
+        )
+        freqs = np.array([48123])
+        ref = jnp_reference(freqs, fs, stages, x)
+        got = run_fused(freqs, fs, stages, x)
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)
+
+    def test_matches_jnp_multichannel(self, rng):
+        fs, stages = 384000, 3
+        t_len = 256 * 16
+        x = (rng.standard_normal(t_len) + 1j * rng.standard_normal(t_len)).astype(
+            np.complex64
+        )
+        freqs = np.array([110854, -95000, 0, 177777])
+        ref = jnp_reference(freqs, fs, stages, x)
+        got = run_fused(freqs, fs, stages, x)
+        assert got.shape == ref.shape == (4, t_len >> stages)
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)
+
+    def test_streaming_chunks_match_whole(self, rng):
+        """Carried tails + phase across kernel invocations == one big call."""
+        fs, stages = 192000, 2
+        t_len = 256 * 64
+        x = (rng.standard_normal(t_len) + 1j * rng.standard_normal(t_len)).astype(
+            np.complex64
+        )
+        freqs = np.array([12345, -4321])
+        whole = run_fused(freqs, fs, stages, x, chunks=1)
+        chunked = run_fused(freqs, fs, stages, x, chunks=4)
+        np.testing.assert_allclose(chunked, whole, rtol=1e-5, atol=1e-6)
+
+    def test_tone_decimation(self):
+        """A passband tone survives the fused chain with correct frequency."""
+        fs, stages = 1536000, 2
+        t_len = 256 * 128
+        n = np.arange(t_len)
+        f_mix, f_tone = 484000, -483000  # tone lands at 1 kHz after mix
+        x = np.exp(2j * np.pi * f_tone * n / fs).astype(np.complex64)
+        got = run_fused(np.array([f_mix]), fs, stages, x)[0]
+        out_rate = fs >> stages
+        spec = np.abs(np.fft.fft(got[200:]))
+        freqs_axis = np.fft.fftfreq(len(got) - 200, 1 / out_rate)
+        peak = freqs_axis[np.argmax(spec)]
+        assert abs(peak - 1000.0) < out_rate / len(spec) * 2
