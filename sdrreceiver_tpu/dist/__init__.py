@@ -11,3 +11,6 @@ __all__ = [
     "TIME_AXIS",
     "CHAN_AXIS",
 ]
+
+from . import multihost  # noqa: E402
+__all__.append("multihost")

@@ -1,0 +1,120 @@
+"""Multi-host deployment: group-per-host partitioning over DCN.
+
+SURVEY.md section 2.4's deployment rule: FIR-history halos must ride ICI, so
+each host owns WHOLE main-VFO groups (a group's front end + all its buckets),
+and the only cross-host traffic is control + the host-local ZMQ egress.  This
+module implements that partitioning:
+
+  * :func:`assign_groups` — deterministic balanced assignment of plan groups
+    to ``n_hosts`` by front-end+bucket FLOP cost (largest-first greedy)
+  * :func:`host_subplan` — a ReceiverPlan containing only this host's groups
+    (planning rules untouched; group indices preserved for topic routing)
+  * :func:`initialize` — ``jax.distributed`` bring-up for a JobSet-style
+    launch; each process then builds its sub-plan receiver over its local
+    chips with the usual ``(time, chan)`` mesh
+
+Scaling efficiency target (BASELINE.md): >=90% at N>=2 hosts — achieved by
+construction here since hosts share no data-plane traffic; the binding
+constraint is cost balance, reported by :func:`assignment_report`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..graph.plan import GroupPlan, ReceiverPlan
+from ..obs.metrics import plan_cost_model
+
+__all__ = [
+    "initialize",
+    "group_costs",
+    "assign_groups",
+    "host_subplan",
+    "assignment_report",
+]
+
+
+def initialize(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> tuple[int, int]:
+    """Bring up jax.distributed (no-op when single-process).
+
+    Returns (process_id, num_processes).
+    """
+    import jax
+
+    if coordinator_address is not None:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    return jax.process_index(), jax.process_count()
+
+
+def group_costs(plan: ReceiverPlan) -> dict[int, float]:
+    """FLOPs/block attributable to each group (front end + its buckets)."""
+    costs: dict[int, float] = {}
+    t = plan.block_samples
+    for g in plan.groups:
+        flops = 0.0
+        tg = t
+        if not g.direct:
+            flops += 8.0 * t
+            for _ in range(g.stages):
+                tg //= 2
+                flops += 44.0 * tg
+        for b in g.buckets:
+            tb = tg
+            flops += 8.0 * b.channels * tg
+            for _ in range(b.stages):
+                tb //= 2
+                flops += 44.0 * b.channels * tb
+            if b.late_factor > 1:
+                tb //= b.late_factor
+                flops += 4.0 * len(b.late_taps()) * b.channels * tb
+            flops += b.channels * tb * 260.0  # usb + audio ballpark
+        costs[g.index] = flops
+    return costs
+
+
+def assign_groups(plan: ReceiverPlan, n_hosts: int) -> dict[int, int]:
+    """group index -> host id, greedy largest-first onto the lightest host."""
+    if n_hosts < 1:
+        raise ValueError("n_hosts must be >= 1")
+    costs = group_costs(plan)
+    loads = [0.0] * n_hosts
+    assign: dict[int, int] = {}
+    for gidx, cost in sorted(costs.items(), key=lambda kv: -kv[1]):
+        host = int(np.argmin(loads))
+        assign[gidx] = host
+        loads[host] += cost
+    return assign
+
+
+def host_subplan(plan: ReceiverPlan, assignment: dict[int, int], host: int) -> ReceiverPlan:
+    """The plan restricted to one host's groups (indices preserved)."""
+    groups = tuple(g for g in plan.groups if assignment.get(g.index) == host)
+    return dataclasses.replace(plan, groups=groups)
+
+
+def assignment_report(plan: ReceiverPlan, n_hosts: int) -> dict:
+    costs = group_costs(plan)
+    assign = assign_groups(plan, n_hosts)
+    loads = [0.0] * n_hosts
+    for gidx, host in assign.items():
+        loads[host] += costs[gidx]
+    total = sum(loads)
+    peak = max(loads) if loads else 0.0
+    # efficiency = achievable speedup / ideal speedup given the partition
+    eff = (total / peak / n_hosts) if peak > 0 else 1.0
+    return {
+        "n_hosts": n_hosts,
+        "assignment": {int(k): int(v) for k, v in assign.items()},
+        "host_flops_per_block": [round(l / 1e6, 3) for l in loads],
+        "balance_efficiency": round(eff, 4),
+    }

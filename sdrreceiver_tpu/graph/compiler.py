@@ -137,7 +137,9 @@ class CompiledReceiver:
         else:
             new_state["dc"], x = state["dc"], iq
         if "main" in self.emit_taps:
-            outputs["tap/main"] = x
+            # taps are emitted PLANAR ([2, T] float32, not complex64): some
+            # remote TPU backends cannot device->host copy complex arrays
+            outputs["tap/main"] = jnp.stack([x.real, x.imag])
 
         for g in plan.groups:
             gk = f"g{g.index}"
@@ -151,7 +153,7 @@ class CompiledReceiver:
                     gs["cascade"], z, self._consts[f"{gk}/hb"]
                 )
             if gk in self.emit_taps:
-                outputs[f"tap/{gk}"] = z[0]
+                outputs[f"tap/{gk}"] = jnp.stack([z[0].real, z[0].imag])
             if g.publishes_iq:
                 outputs[f"iq/{g.zmq_topic}"] = compress.compress_style1(
                     z[0], float(g.compress_scale)

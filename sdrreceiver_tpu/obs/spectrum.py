@@ -56,6 +56,10 @@ class SpectrumEMA:
         self.pwr = np.zeros(nfft, dtype=np.float64)
 
     def update(self, block) -> np.ndarray:
+        block = np.asarray(block)
+        if block.ndim == 2 and block.shape[0] == 2:
+            # planar [2, T] float32 tap (see graph/compiler emit_taps)
+            block = block[0] + 1j * block[1]
         frame = np.asarray(power_spectrum(jnp.asarray(block), self.nfft))
         self.pwr = self.pwr * (1.0 - self.alpha) + self.alpha * frame
         return self.pwr

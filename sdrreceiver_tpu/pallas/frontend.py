@@ -84,7 +84,12 @@ def _band_matrices(taps: np.ndarray, stages: int):
                 k = 2 * m - (j - 16)
                 if 0 <= k <= _HIST:
                     mt[j, m] = c[k]
-        mats.append((mz, mt))
+        # tail-extraction placement: tails16 = z @ pq puts the row's last 10
+        # samples at slots 6..15 (scatter/.at[].set has no Mosaic lowering)
+        pq = np.zeros((l, 16), np.float32)
+        for j in range(_HIST):
+            pq[l - _HIST + j, 6 + j] = 1.0
+        mats.append((mz, mt, pq))
     return mats
 
 
@@ -148,10 +153,11 @@ class MixCascadeKernel:
         two_pi_over_fs = np.float32(2.0 * np.pi / fs)
 
         def kernel(scal_ref, xr_ref, xi_ref, *refs):
-            # refs: d*(mz, mt) consts, then 2d hist-in, then outputs/scratch:
-            mz_refs = [refs[2 * s] for s in range(d)]
-            mt_refs = [refs[2 * s + 1] for s in range(d)]
-            base = 2 * d
+            # refs: d*(mz, mt, pq) consts, then 2d hist-in, then outputs:
+            mz_refs = [refs[3 * s] for s in range(d)]
+            mt_refs = [refs[3 * s + 1] for s in range(d)]
+            pq_refs = [refs[3 * s + 2] for s in range(d)]
+            base = 3 * d
             hin_refs = refs[base : base + 2 * d]  # per stage: r-plane, i-plane
             base += 2 * d
             yr_ref, yi_ref = refs[base], refs[base + 1]
@@ -191,10 +197,10 @@ class MixCascadeKernel:
                 l = LANES >> s
                 mz = mz_refs[s][:, :]
                 mt = mt_refs[s][:, :]
+                pq = pq_refs[s][:, :]
                 for p in range(2):
                     z = planes[p]
-                    tails = jnp.zeros((r, 16), jnp.float32)
-                    tails = tails.at[:, 6:16].set(z[:, l - _HIST : l])
+                    tails = jnp.dot(z, pq, preferred_element_type=jnp.float32)
                     rolled = pltpu.roll(tails, 1, 0)
                     carried = scratch[2 * s + p][:, :]  # [1, 16], broadcasts
                     shifted = jnp.where(row0, carried, rolled)
@@ -218,9 +224,9 @@ class MixCascadeKernel:
             pl.BlockSpec((1, r, LANES), lambda ci, ti: (ci, ti, 0), memory_space=pltpu.VMEM),
         ]
         for s in range(self.d):
-            l = LANES >> s
             in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # mz
             in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # mt
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # pq
         for _ in range(2 * self.d):  # hist in [C, 1, 16]
             in_specs.append(
                 pl.BlockSpec((1, 1, 16), lambda ci, ti: (ci, 0, 0), memory_space=pltpu.VMEM)
@@ -243,8 +249,8 @@ class MixCascadeKernel:
         scratch_shapes = [pltpu.VMEM((1, 16), jnp.float32) for _ in range(2 * self.d)]
 
         mats_flat = []
-        for mz, mt in mats:
-            mats_flat += [mz, mt]
+        for mz, mt, pq in mats:
+            mats_flat += [mz, mt, pq]
         interpret = self.interpret
 
         def call(phase, hists, xr, xi):

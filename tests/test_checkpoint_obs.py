@@ -112,8 +112,8 @@ class TestSpectrum:
         rx = CompiledReceiver(plan, BLOCK, emit_taps=("main", "g0"))
         state = rx.init_state()
         _, o = rx.step_iq(state, jnp.asarray(iq[:BLOCK]))
-        assert o["tap/main"].shape == (BLOCK,)
-        assert o["tap/g0"].shape == (BLOCK // 4,)
+        assert o["tap/main"].shape == (2, BLOCK)
+        assert o["tap/g0"].shape == (2, BLOCK // 4)
 
     def test_invalid_tap_rejected(self, plan):
         with pytest.raises(ValueError, match="unknown taps"):

@@ -169,3 +169,41 @@ class TestShardedReceiver:
         mesh = make_mesh(n_time=8)
         with pytest.raises(ValueError, match="n_time"):
             ShardedReceiver(plan, mesh, block_samples=plan.block_divisor() * 4)
+
+
+class TestMultihost:
+    def test_group_assignment_balance(self):
+        from sdrreceiver_tpu.dist import multihost
+        from sdrreceiver_tpu.graph import build_plan, load_ini
+
+        plan = build_plan(load_ini("/root/reference/sample_ini/CBAND_143E.ini"))
+        rep = multihost.assignment_report(plan, 2)
+        assert set(rep["assignment"]) == {0, 1, 2}
+        assert rep["balance_efficiency"] > 0.5
+        # every group lands on exactly one host; subplans partition the groups
+        sub0 = multihost.host_subplan(plan, rep["assignment"], 0)
+        sub1 = multihost.host_subplan(plan, rep["assignment"], 1)
+        assert len(sub0.groups) + len(sub1.groups) == len(plan.groups)
+        assert {g.index for g in sub0.groups}.isdisjoint(
+            {g.index for g in sub1.groups}
+        )
+
+    def test_subplan_runs(self):
+        from sdrreceiver_tpu.dist import multihost
+        from sdrreceiver_tpu.graph import build_plan, compile_plan, parse_ini_text
+
+        plan = build_plan(parse_ini_text(INI))
+        assign = multihost.assign_groups(plan, 2)
+        my = multihost.host_subplan(plan, assign, assign[0])
+        rx = compile_plan(my, 4096)
+        state = rx.init_state()
+        import jax.numpy as jnp
+
+        _, out = rx.step_iq(state, jnp.zeros(4096, jnp.complex64))
+        assert out  # this host's group produces its channels
+
+    def test_initialize_single_process(self):
+        from sdrreceiver_tpu.dist import multihost
+
+        pid, n = multihost.initialize()
+        assert pid == 0 and n == 1
