@@ -55,14 +55,23 @@ class CompiledReceiver:
         plan: ReceiverPlan,
         block_samples: int | None = None,
         emit_taps: tuple[str, ...] = (),
+        use_pallas: bool = False,
+        pallas_interpret: bool = False,
     ):
         """``emit_taps``: also output intermediate baseband for observability
         — "main" (post-DC input) and/or "g<i>" (group-cascade output), the
         signals the reference's scope displays (sdrj.cpp:296-303,
-        vfo.cpp:290-295).  Keys appear as ``tap/...`` outputs."""
+        vfo.cpp:290-295).  Keys appear as ``tap/...`` outputs.
+
+        ``use_pallas``: route every supported mix+cascade through the fused
+        Pallas TPU kernel (pallas/frontend.py); unsupported shapes fall back
+        to the jnp path per group/bucket.  ``pallas_interpret`` runs those
+        kernels in interpreter mode (CPU testing)."""
         self.plan = plan
         self.block = int(block_samples or plan.block_samples)
         self.emit_taps = tuple(emit_taps)
+        self.use_pallas = bool(use_pallas)
+        self.pallas_interpret = bool(pallas_interpret)
         valid = {"main"} | {f"g{g.index}" for g in plan.groups}
         bad = set(self.emit_taps) - valid
         if bad:
@@ -78,12 +87,49 @@ class CompiledReceiver:
         self.step_u8 = jax.jit(self._step_u8, donate_argnums=(0,))
 
     # ---------------------------------------------------------------- consts
+    def _fused(
+        self,
+        key: str,
+        channels: int,
+        stages: int,
+        fs: int,
+        freqs,
+        t_len: int,
+        shared_input: bool = False,
+    ):
+        """Build (or skip) a fused Pallas mix+cascade kernel for a node."""
+        if not self.use_pallas or stages == 0:
+            return None
+        from ..pallas.frontend import MixCascadeKernel, supported
+
+        if not supported(fs, stages, t_len):
+            return None
+        self._kernels[key] = MixCascadeKernel(
+            channels,
+            stages,
+            fs,
+            np.asarray(freqs, dtype=np.int64),
+            t_len,
+            interpret=self.pallas_interpret,
+            shared_input=shared_input,
+        )
+        return self._kernels[key]
+
     def _build_consts(self) -> None:
+        self._kernels: dict[str, Any] = {}
         hb = design.half_band(11)
         hilb = design.hilbert()
         for g in self.plan.groups:
             gk = f"g{g.index}"
             self._consts[f"{gk}/hb"] = fir.prepare_taps(hb, 1)
+            if not g.direct:
+                self._fused(gk, 1, g.stages, self.plan.fs, [g.mixer_freq], self.block)
+            tg = self.block >> g.stages
+            for bi, b in enumerate(g.buckets):
+                self._fused(
+                    f"{gk}/b{bi}", b.channels, b.stages, g.out_rate,
+                    b.mixer_freqs(), tg, shared_input=True,
+                )
             for bi, b in enumerate(g.buckets):
                 bk = f"{gk}/b{bi}"
                 c = b.channels
@@ -103,16 +149,23 @@ class CompiledReceiver:
         state: dict[str, Any] = {"dc": dc.dc_init()}
         for g in plan.groups:
             gs: dict[str, Any] = {}
+            gk = f"g{g.index}"
             if not g.direct:
                 gs["nco"] = nco.nco_init([g.mixer_freq], plan.fs)
-                gs["cascade"] = halfband.cascade_init(1, g.stages)
+                if gk in self._kernels:
+                    gs["cascade_p"] = self._kernels[gk].init_hists()
+                else:
+                    gs["cascade"] = halfband.cascade_init(1, g.stages)
             for bi, b in enumerate(g.buckets):
                 c = b.channels
                 bs: dict[str, Any] = {
                     "nco": nco.nco_init(b.mixer_freqs(), g.out_rate),
-                    "cascade": halfband.cascade_init(c, b.stages),
                     "usb": usbdemod.usb_init(c),
                 }
+                if f"{gk}/b{bi}" in self._kernels:
+                    bs["cascade_p"] = self._kernels[f"{gk}/b{bi}"].init_hists()
+                else:
+                    bs["cascade"] = halfband.cascade_init(c, b.stages)
                 if b.late_factor > 1:
                     ntaps = self._consts[f"g{g.index}/b{bi}/late"].shape[1]
                     bs["late"] = stream.fir_history_init(c, ntaps)
@@ -147,6 +200,20 @@ class CompiledReceiver:
             ngs: dict[str, Any] = {}
             if g.direct:
                 z = x[None, :]
+            elif gk in self._kernels:
+                kern = self._kernels[gk]
+                yr, yi, hbp = kern(
+                    gs["nco"]["phase"].astype(jnp.int32),
+                    gs["cascade_p"],
+                    x.real[None, :],
+                    x.imag[None, :],
+                )
+                z = jax.lax.complex(yr, yi)
+                ngs["nco"] = dict(gs["nco"])
+                ngs["nco"]["phase"] = nco.advance_per_block(
+                    gs["nco"], plan.fs, self.block
+                )
+                ngs["cascade_p"] = hbp
             else:
                 ngs["nco"], z = nco.mix_block(gs["nco"], x, plan.fs)
                 ngs["cascade"], z = halfband.cascade_apply(
@@ -163,10 +230,25 @@ class CompiledReceiver:
                 bk = f"{gk}/b{bi}"
                 bs = gs[f"b{bi}"]
                 nbs: dict[str, Any] = {}
-                nbs["nco"], y = nco.mix_block(bs["nco"], z[0], g.out_rate)
-                nbs["cascade"], y = halfband.cascade_apply(
-                    bs["cascade"], y, self._consts[f"{bk}/hb"]
-                )
+                if bk in self._kernels:
+                    kern = self._kernels[bk]
+                    yr, yi, hbp = kern(
+                        bs["nco"]["phase"].astype(jnp.int32),
+                        bs["cascade_p"],
+                        z.real,  # [1, Tg]: shared_input reads one block
+                        z.imag,
+                    )
+                    y = jax.lax.complex(yr, yi)
+                    nbs["nco"] = dict(bs["nco"])
+                    nbs["nco"]["phase"] = nco.advance_per_block(
+                        bs["nco"], g.out_rate, z.shape[-1]
+                    )
+                    nbs["cascade_p"] = hbp
+                else:
+                    nbs["nco"], y = nco.mix_block(bs["nco"], z[0], g.out_rate)
+                    nbs["cascade"], y = halfband.cascade_apply(
+                        bs["cascade"], y, self._consts[f"{bk}/hb"]
+                    )
                 if b.late_factor > 1:
                     nbs["late"], y = fir.conv_block(
                         bs["late"], y, self._consts[f"{bk}/late"], b.late_factor

@@ -113,7 +113,13 @@ class MixCascadeKernel:
         t_len: int,
         taps: np.ndarray | None = None,
         interpret: bool = False,
+        shared_input: bool = False,
     ):
+        """``shared_input``: all channels mix the SAME input stream (the
+        sub-VFO fan-out case, sdrj.cpp:288-294) — pass xr/xi as ``[1, T]``
+        and every channel's grid step reads that one block (no [C, T]
+        broadcast materialization in HBM)."""
+        self.shared_input = bool(shared_input)
         if not supported(fs, stages, t_len):
             raise ValueError(
                 f"unsupported fused shape: fs={fs} stages={stages} t_len={t_len}"
@@ -218,10 +224,14 @@ class MixCascadeKernel:
 
         # ---- pallas_call wiring ----
         grid = (c_chan, n_tiles)
+        if self.shared_input:
+            x_index = lambda ci, ti: (0, ti, 0)
+        else:
+            x_index = lambda ci, ti: (ci, ti, 0)
         in_specs = [
             pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars [4, C]
-            pl.BlockSpec((1, r, LANES), lambda ci, ti: (ci, ti, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, r, LANES), lambda ci, ti: (ci, ti, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r, LANES), x_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r, LANES), x_index, memory_space=pltpu.VMEM),
         ]
         for s in range(self.d):
             in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # mz
@@ -253,8 +263,10 @@ class MixCascadeKernel:
             mats_flat += [mz, mt, pq]
         interpret = self.interpret
 
+        shared = self.shared_input
+
         def call(phase, hists, xr, xi):
-            # hists [d, C, 16] -> per-(stage,plane) [C, 1, 16] inputs
+            # hists [d, C, 2, 16] -> per-(stage,plane) [C, 1, 16] inputs
             scal = jnp.stack(
                 [
                     phase.astype(jnp.int32),
@@ -263,8 +275,9 @@ class MixCascadeKernel:
                     jnp.asarray(self.f_tile),
                 ]
             )
-            xr3 = xr.reshape(c_chan, n_tiles * r, LANES)
-            xi3 = xi.reshape(c_chan, n_tiles * r, LANES)
+            n_in = 1 if shared else c_chan
+            xr3 = xr.reshape(n_in, n_tiles * r, LANES)
+            xi3 = xi.reshape(n_in, n_tiles * r, LANES)
             hist_args = []
             for s in range(d):
                 for p in range(2):

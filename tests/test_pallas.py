@@ -104,3 +104,67 @@ class TestMixCascade:
         freqs_axis = np.fft.fftfreq(len(got) - 200, 1 / out_rate)
         peak = freqs_axis[np.argmax(spec)]
         assert abs(peak - 1000.0) < out_rate / len(spec) * 2
+
+
+class TestPallasReceiver:
+    """Full CompiledReceiver with use_pallas vs the jnp receiver."""
+
+    INI = """
+sample_rate=1536000
+center_frequency=1545600000
+zmq_address=tcp://*:6003
+correct_dc_bias=1
+[main_vfos]
+size=2
+1\\frequency=1545116000
+1\\out_rate=384000
+2\\frequency=1546096000
+2\\out_rate=192000
+[vfos]
+size=3
+1\\frequency=1545005146
+1\\gain=5
+1\\data_rate=600
+1\\filter_bandwidth=4000
+1\\topic=VFO01
+2\\frequency=1545124261
+2\\gain=5
+2\\data_rate=1200
+2\\topic=VFO07
+3\\frequency=1546005300
+3\\gain=5
+3\\data_rate=10500
+3\\topic=VFO13
+"""
+
+    def test_matches_jnp_receiver(self, rng):
+        from sdrreceiver_tpu.graph import build_plan, parse_ini_text
+        from sdrreceiver_tpu.graph.compiler import CompiledReceiver
+        from sdrreceiver_tpu.io import iqfile
+
+        plan = build_plan(parse_ini_text(self.INI))
+        block = 49152
+        iq = iqfile.synthesize_channels(
+            2 * block,
+            1536000,
+            1545600000,
+            [(1545005146, 900.0, 10.0), (1546005300, 2100.0, 8.0)],
+            noise=0.5,
+            dc_offset=2 - 1j,
+        )
+        rx_ref = CompiledReceiver(plan, block)
+        rx_pal = CompiledReceiver(plan, block, use_pallas=True, pallas_interpret=True)
+        # every non-direct group and bucket must actually be fused
+        assert len(rx_pal._kernels) == 5
+        sr, sp = rx_ref.init_state(), rx_pal.init_state()
+        for i in range(2):
+            chunk = jnp.asarray(iq[i * block : (i + 1) * block])
+            sr, oref = rx_ref.step_iq(sr, chunk)
+            sp, opal = rx_pal.step_iq(sp, chunk)
+            assert set(oref) == set(opal)
+            for k in oref:
+                d = np.abs(
+                    np.asarray(opal[k]).astype(np.int32)
+                    - np.asarray(oref[k]).astype(np.int32)
+                )
+                assert d.max() <= 1, (k, i, d.max())
