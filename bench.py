@@ -34,21 +34,18 @@ def main() -> int:
     rx = CompiledReceiver(plan, block_samples=block)
 
     rng = np.random.default_rng(0)
-    iq = jax.device_put(
-        jnp.asarray(
-            (rng.standard_normal(2 * block).astype(np.float32)).view(np.complex64)
-        )
-    )
+    # interleaved f32 pairs: remote TPU backends cannot device_put complex64
+    iq = jax.device_put(jnp.asarray(rng.standard_normal(2 * block).astype(np.float32)))
 
     state = rx.init_state()
     # warmup / compile
-    state, out = rx.step_iq(state, iq)
+    state, out = rx.step_f32(state, iq)
     jax.block_until_ready(out)
 
     n_iter = 20 if on_tpu else 5
     t0 = time.perf_counter()
     for _ in range(n_iter):
-        state, out = rx.step_iq(state, iq)
+        state, out = rx.step_f32(state, iq)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
 

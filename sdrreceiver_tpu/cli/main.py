@@ -159,7 +159,11 @@ def cmd_process_file(args) -> int:
     state = None
     if args.resume:
         state = checkpoint.load_state(args.resume, rx.init_state(), plan)
-    blocks = (jnp.asarray(b) for b in iqfile.iter_blocks(iq, rx.block))
+    # feed interleaved f32 pairs (complex host->device transfer is not
+    # supported on remote TPU backends)
+    blocks = (
+        jnp.asarray(b.view(np.float32)) for b in iqfile.iter_blocks(iq, rx.block)
+    )
     metrics, final_state = run_pipeline(
         rx, blocks, on_outputs, max_blocks=args.max_blocks, state=state,
         return_state=True,
@@ -258,7 +262,7 @@ def cmd_run(args) -> int:
             while True:
                 yield from iqfile.iter_blocks(iq, rx.block)
 
-        blocks = (jnp.asarray(b) for b in looped())
+        blocks = (jnp.asarray(b.view(np.float32)) for b in looped())
         try:
             metrics = run_pipeline(
                 rx,

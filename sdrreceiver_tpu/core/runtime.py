@@ -13,6 +13,7 @@ import time
 from typing import Callable, Iterable, Iterator
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..obs.metrics import PipelineMetrics
@@ -50,7 +51,19 @@ def run_pipeline(
     metrics.start()
     if state is None:
         state = rx.init_state()
-    step = rx.step_u8 if raw_u8 else rx.step_iq
+
+    def step(s, block):
+        # dispatch on block dtype: u8 = raw dongle bytes (device LUT),
+        # f32 = interleaved pairs (packed on device — remote TPU backends
+        # cannot transfer complex host arrays), complex = direct
+        if block.dtype == jnp.uint8:
+            return rx.step_u8(s, block)
+        if block.dtype == jnp.float32:
+            return rx.step_f32(s, block)
+        return rx.step_iq(s, block)
+
+    if raw_u8:
+        step = rx.step_u8
 
     pending: dict[str, jax.Array] | None = None
     t_block = rx.block

@@ -85,6 +85,10 @@ class CompiledReceiver:
         self._build_consts()
         self.step_iq = jax.jit(self._step_iq, donate_argnums=(0,))
         self.step_u8 = jax.jit(self._step_u8, donate_argnums=(0,))
+        # interleaved-float32 entry: remote TPU backends cannot device_put
+        # complex64 host arrays, so recordings are fed as raw f32 pairs and
+        # packed to complex on device (sdrj.cpp:271-276 semantics)
+        self.step_f32 = jax.jit(self._step_f32, donate_argnums=(0,))
 
     # ---------------------------------------------------------------- consts
     def _fused(
@@ -179,6 +183,9 @@ class CompiledReceiver:
     # ------------------------------------------------------------------ step
     def _step_u8(self, state: dict, raw: jax.Array):
         return self._step_iq(state, ingest.u8_iq_to_complex(raw))
+
+    def _step_f32(self, state: dict, raw: jax.Array):
+        return self._step_iq(state, ingest.f32_pairs_to_complex(raw))
 
     def _step_iq(self, state: dict, iq: jax.Array):
         plan = self.plan
