@@ -35,7 +35,7 @@ def _build(args, block=None):
 
     cfg = load_ini(args.settings)
     plan = build_plan(cfg)
-    return cfg, plan, None if plan is None else compile_plan(plan, block)
+    return cfg, plan, compile_plan(plan, block)
 
 
 def cmd_plan(args) -> int:
@@ -123,11 +123,10 @@ def cmd_process_file(args) -> int:
 
     from ..core import checkpoint
     from ..core.runtime import run_pipeline
-    from ..graph import build_plan, compile_plan, load_ini
+    from ..graph import build_plan, load_ini
+    from ..graph.compiler import CompiledReceiver
     from ..io import iqfile, zmqpub
     from ..obs.spectrum import SpectrumEMA
-
-    from ..graph.compiler import CompiledReceiver
 
     cfg = load_ini(args.settings)
     plan = build_plan(cfg)

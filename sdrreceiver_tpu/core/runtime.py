@@ -10,13 +10,14 @@ computes — a two-deep software pipeline with no explicit threads.
 from __future__ import annotations
 
 import time
-from typing import Callable, Iterable, Iterator
+from typing import Callable, Iterable
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..obs.metrics import PipelineMetrics
+from ..utils.fetch import fetch_np
 
 __all__ = ["run_pipeline"]
 
@@ -77,7 +78,7 @@ def run_pipeline(
         sent = 0
         if pending is not None and on_outputs is not None:
             # publish the previous block's outputs while this one computes
-            sent = on_outputs({k: np.asarray(v) for k, v in pending.items()})
+            sent = on_outputs({k: fetch_np(v) for k, v in pending.items()})
         pending = outs
         if realtime_fs:
             next_deadline += t_block / realtime_fs
@@ -90,7 +91,7 @@ def run_pipeline(
         jax.block_until_ready(pending)
         if on_outputs is not None:
             metrics.messages_sent += on_outputs(
-                {k: np.asarray(v) for k, v in pending.items()}
+                {k: fetch_np(v) for k, v in pending.items()}
             )
     metrics.finish()
     if return_state:

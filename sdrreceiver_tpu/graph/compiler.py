@@ -31,6 +31,7 @@ from ..kernels import (
     halfband,
     ingest,
     nco,
+    ossfft,
     usbdemod,
 )
 from .plan import ReceiverPlan
@@ -57,6 +58,7 @@ class CompiledReceiver:
         emit_taps: tuple[str, ...] = (),
         use_pallas: bool = False,
         pallas_interpret: bool = False,
+        ossfft_min_taps: int | None = 128,
     ):
         """``emit_taps``: also output intermediate baseband for observability
         — "main" (post-DC input) and/or "g<i>" (group-cascade output), the
@@ -66,12 +68,18 @@ class CompiledReceiver:
         ``use_pallas``: route every supported mix+cascade through the fused
         Pallas TPU kernel (pallas/frontend.py); unsupported shapes fall back
         to the jnp path per group/bucket.  ``pallas_interpret`` runs those
-        kernels in interpreter mode (CPU testing)."""
+        kernels in interpreter mode (CPU testing).
+
+        ``ossfft_min_taps``: audio filter banks with at least this many taps
+        run through the overlap-save FFT convolution engine (kernels/ossfft —
+        the kiss_fastfir capability) instead of direct convolution; None
+        disables."""
         self.plan = plan
         self.block = int(block_samples or plan.block_samples)
         self.emit_taps = tuple(emit_taps)
         self.use_pallas = bool(use_pallas)
         self.pallas_interpret = bool(pallas_interpret)
+        self.ossfft_min_taps = ossfft_min_taps
         valid = {"main"} | {f"g{g.index}" for g in plan.groups}
         bad = set(self.emit_taps) - valid
         if bad:
@@ -146,6 +154,11 @@ class CompiledReceiver:
                 at = b.audio_taps()
                 if at is not None:
                     self._consts[f"{bk}/audio"] = fir.prepare_taps(at)
+                    if (
+                        self.ossfft_min_taps is not None
+                        and at.shape[1] >= self.ossfft_min_taps
+                    ):
+                        self._consts[f"{bk}/audio_oss"] = ossfft.oss_prepare(at)
 
     # ----------------------------------------------------------------- state
     def init_state(self) -> dict:
@@ -263,7 +276,13 @@ class CompiledReceiver:
                 nbs["usb"], audio = usbdemod.usb_block(
                     bs["usb"], y, self._consts[f"{bk}/hilbert"]
                 )
-                if f"{bk}/audio" in self._consts:
+                if f"{bk}/audio_oss" in self._consts:
+                    # long filters: overlap-save FFT convolution engine
+                    nbs["audio"], audio = ossfft.oss_block(
+                        bs["audio"], audio, self._consts[f"{bk}/audio_oss"]
+                    )
+                    audio = audio.real
+                elif f"{bk}/audio" in self._consts:
                     nbs["audio"], audio = fir.conv_block(
                         bs["audio"], audio, self._consts[f"{bk}/audio"]
                     )

@@ -91,10 +91,12 @@ def oss_block(hist, x, filt: dict, stride: int = 1):
     t_len = x.shape[-1]
     if t_len % stride:
         raise ValueError(f"block length {t_len} not divisible by stride {stride}")
-    if not jnp.iscomplexobj(x):
-        x = x.astype(jnp.complex64)
-        hist = hist.astype(jnp.complex64)
     xfull = jnp.concatenate([hist, x], axis=-1)
+    # history keeps the INPUT dtype (real stays real across steps)
     new_hist = xfull[:, t_len:] if ntaps > 1 else hist
-    y = _oss_core(xfull, filt["H"], ntaps, nfft, stride)
+    if not jnp.iscomplexobj(xfull):
+        y = _oss_core(xfull.astype(jnp.complex64), filt["H"], ntaps, nfft, stride)
+        y = y.real
+    else:
+        y = _oss_core(xfull, filt["H"], ntaps, nfft, stride)
     return new_hist, y

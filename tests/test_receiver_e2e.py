@@ -213,3 +213,45 @@ class TestCompressedIQ:
             np.linalg.norm(dec[200:]) * np.linalg.norm(z[200 : len(dec)]) + 1e-30
         )
         assert c > 0.85
+
+
+class TestOverlapSaveIntegration:
+    def test_oss_audio_path_matches_direct(self, rng):
+        """Long audio filters through the overlap-save FFT engine must match
+        the direct-conv path in the full receiver across streamed blocks."""
+        from sdrreceiver_tpu.graph.compiler import CompiledReceiver
+
+        ini = """
+sample_rate=1536000
+center_frequency=1545600000
+zmq_address=tcp://*:6003
+[main_vfos]
+size=1
+1\\frequency=1545116000
+1\\out_rate=384000
+[vfos]
+size=1
+1\\frequency=1545005146
+1\\gain=5
+1\\out_rate=48000
+1\\filter_bandwidth=3000
+1\\topic=VFO01
+"""
+        plan = build_plan(parse_ini_text(ini))
+        # 3 kHz bw at 48 kHz -> 155 taps: above the 128-tap OSS threshold
+        assert plan.groups[0].buckets[0].audio_taps().shape[1] == 155
+        block = 49152
+        x = (rng.standard_normal(2 * block).astype(np.float32)).view(np.complex64)
+        rx_direct = CompiledReceiver(plan, block, ossfft_min_taps=None)
+        rx_oss = CompiledReceiver(plan, block, ossfft_min_taps=128)
+        assert "g0/b0/audio_oss" in rx_oss._consts
+        s1, s2 = rx_direct.init_state(), rx_oss.init_state()
+        for _ in range(2):
+            c = jnp.asarray(x)
+            s1, o1 = rx_direct.step_iq(s1, c)
+            s2, o2 = rx_oss.step_iq(s2, c)
+            d = np.abs(
+                np.asarray(o1["audio/VFO01"]).astype(np.int32)
+                - np.asarray(o2["audio/VFO01"]).astype(np.int32)
+            )
+            assert d.max() <= 1
