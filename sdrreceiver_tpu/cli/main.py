@@ -251,6 +251,13 @@ def cmd_run(args) -> int:
                 raw_u8=True,
                 max_blocks=args.max_blocks,
             )
+            summary = metrics.summary()
+            try:
+                summary["ring"] = ring.stats
+            except Exception:
+                pass
+            print(json.dumps(summary))
+            return 0
         finally:
             client.close()
             hub.close()
