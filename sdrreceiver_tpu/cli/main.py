@@ -170,15 +170,46 @@ def cmd_process_file(args) -> int:
 
     written = []
     if outdir is not None:
+        rates = rx.rates()
         for k, parts in sink.items():
             data = np.concatenate(parts)
             name = k.replace("/", "_") + (".s16" if k.startswith("audio") else ".bin")
             data.tofile(outdir / name)
             written.append(name)
+            if args.wav and k.startswith("audio/"):
+                from ..io.wavout import write_wav
+
+                wname = k.replace("/", "_") + ".wav"
+                write_wav(outdir / wname, data, rates[k])
+                written.append(wname)
         if spectrum is not None:
             name = f"spectrum_{args.spectrum}.npy"
             np.save(outdir / name, spectrum.smoothed)
             written.append(name)
+            if args.spectrum_png:
+                try:
+                    import matplotlib
+
+                    matplotlib.use("Agg")
+                    import matplotlib.pyplot as plt
+
+                    fs_tap = plan.fs if args.spectrum == "main" else next(
+                        g.out_rate for g in plan.groups if f"g{g.index}" == args.spectrum
+                    )
+                    curve = spectrum.smoothed
+                    freqs = (np.arange(len(curve)) - len(curve) / 2) * fs_tap / 8192
+                    fig, ax = plt.subplots(figsize=(10, 4))
+                    ax.plot(freqs / 1e3, curve, lw=0.7)
+                    ax.set_xlabel("offset from center [kHz]")
+                    ax.set_ylabel("power [dB]")
+                    ax.set_title(f"spectrum: {args.spectrum}")
+                    fig.tight_layout()
+                    pname = f"spectrum_{args.spectrum}.png"
+                    fig.savefig(outdir / pname, dpi=110)
+                    plt.close(fig)
+                    written.append(pname)
+                except Exception as e:
+                    print(f"spectrum png failed: {e}", file=sys.stderr)
     if args.save_state:
         checkpoint.save_state(args.save_state, final_state, plan)
     if hub:
@@ -211,6 +242,12 @@ def cmd_run(args) -> int:
         client.configure(
             plan.fs, plan.center_frequency, cfg.remote_rtl_gain_idx, agc=False
         )
+        ctrl = None
+        if args.control_port is not None:
+            from .control import ControlServer
+
+            ctrl = ControlServer(args.control_port, rtl_client=client)
+            print(f"control socket on udp:{ctrl.port}", file=sys.stderr)
         try:
             from ..io import native
 
@@ -259,6 +296,8 @@ def cmd_run(args) -> int:
             print(json.dumps(summary))
             return 0
         finally:
+            if ctrl is not None:
+                ctrl.close()
             client.close()
             hub.close()
     elif args.iq:
@@ -373,11 +412,21 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument(
         "--save-state", default=None, help="write the final state checkpoint here"
     )
+    sp.add_argument("--wav", action="store_true", help="also write .wav audio files")
+    sp.add_argument(
+        "--spectrum-png", action="store_true", help="render the spectrum to PNG"
+    )
     sp.set_defaults(fn=cmd_process_file)
 
     sp = sub.add_parser("run", help="live receive -> ZMQ (rtl_tcp or looped file)")
     common(sp)
     sp.add_argument("--fast", action="store_true", help="don't pace to realtime")
+    sp.add_argument(
+        "--control-port",
+        type=int,
+        default=None,
+        help="UDP JSON control socket (set_center_freq / stats)",
+    )
     sp.set_defaults(fn=cmd_run)
 
     sp = sub.add_parser("bench", help="throughput benchmark")

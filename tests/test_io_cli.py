@@ -361,3 +361,73 @@ class TestCliEndToEnd:
         assert len(pcm) == 49152 // 128
         t.join(timeout=30)
         sub.close(linger=0)
+
+
+class TestWavAndControl:
+    def test_wav_writer(self, tmp_path, rng):
+        import wave
+
+        from sdrreceiver_tpu.io.wavout import write_wav
+
+        pcm = (rng.standard_normal(1200) * 3000).astype(np.int16)
+        p = tmp_path / "t.wav"
+        write_wav(p, pcm, 12000)
+        with wave.open(str(p)) as w:
+            assert w.getframerate() == 12000
+            assert w.getnchannels() == 1
+            assert w.getsampwidth() == 2
+            back = np.frombuffer(w.readframes(w.getnframes()), np.int16)
+        np.testing.assert_array_equal(back, pcm)
+
+    def test_process_file_wav_output(self, tmp_path, capsys):
+        from sdrreceiver_tpu.cli.main import main
+
+        ini = tmp_path / "w.ini"
+        ini.write_text(MINI_INI)
+        iq = str(tmp_path / "w.u8")
+        main(["synth", "-s", str(ini), "--out", iq, "--seconds", "0.25", "--amplitude", "20"])
+        capsys.readouterr()
+        outdir = tmp_path / "out"
+        assert (
+            main(
+                [
+                    "process-file", "-s", str(ini), "--iq", iq,
+                    "--out", str(outdir), "--block", "49152", "--wav",
+                ]
+            )
+            == 0
+        )
+        info = json.loads(capsys.readouterr().out)
+        assert "audio_VFO01.wav" in info["outputs_written"]
+
+    def test_control_server_retune_and_stats(self):
+        import json as _json
+
+        from sdrreceiver_tpu.cli.control import ControlServer
+
+        class FakeClient:
+            freq = None
+
+            def set_center_freq(self, f):
+                self.freq = f
+
+        client = FakeClient()
+        srv = ControlServer(0, rtl_client=client, stats_fn=lambda: {"blocks": 7})
+        sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        sock.settimeout(3)
+
+        sock.sendto(b'{"set_center_freq": 1545601000}', ("127.0.0.1", srv.port))
+        rsp = _json.loads(sock.recv(4096))
+        assert rsp == {"ok": True, "center_freq": 1545601000}
+        assert client.freq == 1545601000
+
+        sock.sendto(b'{"stats": true}', ("127.0.0.1", srv.port))
+        assert _json.loads(sock.recv(4096)) == {"blocks": 7}
+
+        sock.sendto(b"not json", ("127.0.0.1", srv.port))
+        assert "error" in _json.loads(sock.recv(4096))
+
+        sock.sendto(b'{"bogus": 1}', ("127.0.0.1", srv.port))
+        assert "error" in _json.loads(sock.recv(4096))
+        srv.close()
+        sock.close()
