@@ -34,18 +34,21 @@ def main() -> int:
     rx = CompiledReceiver(plan, block_samples=block)
 
     rng = np.random.default_rng(0)
-    # interleaved f32 pairs: remote TPU backends cannot device_put complex64
-    iq = jax.device_put(jnp.asarray(rng.standard_normal(2 * block).astype(np.float32)))
+    # raw u8 IQ — the dongle's native wire format (jonti/sdr.cpp:119-129);
+    # the LUT conversion runs on-device as part of the measured chain
+    iq = jax.device_put(
+        jnp.asarray(rng.integers(0, 256, 2 * block).astype(np.uint8))
+    )
 
     state = rx.init_state()
     # warmup / compile
-    state, out = rx.step_f32(state, iq)
+    state, out = rx.step_u8(state, iq)
     jax.block_until_ready(out)
 
-    n_iter = 20 if on_tpu else 5
+    n_iter = 50 if on_tpu else 5
     t0 = time.perf_counter()
     for _ in range(n_iter):
-        state, out = rx.step_f32(state, iq)
+        state, out = rx.step_u8(state, iq)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
 

@@ -163,10 +163,20 @@ def cmd_process_file(args) -> int:
     blocks = (
         jnp.asarray(b.view(np.float32)) for b in iqfile.iter_blocks(iq, rx.block)
     )
-    metrics, final_state = run_pipeline(
-        rx, blocks, on_outputs, max_blocks=args.max_blocks, state=state,
-        return_state=True,
-    )
+    if args.profile:
+        import jax
+
+        with jax.profiler.trace(args.profile):
+            metrics, final_state = run_pipeline(
+                rx, blocks, on_outputs, max_blocks=args.max_blocks, state=state,
+                return_state=True,
+            )
+        print(f"profiler trace written to {args.profile}", file=sys.stderr)
+    else:
+        metrics, final_state = run_pipeline(
+            rx, blocks, on_outputs, max_blocks=args.max_blocks, state=state,
+            return_state=True,
+        )
 
     written = []
     if outdir is not None:
@@ -413,6 +423,10 @@ def build_parser() -> argparse.ArgumentParser:
         "--save-state", default=None, help="write the final state checkpoint here"
     )
     sp.add_argument("--wav", action="store_true", help="also write .wav audio files")
+    sp.add_argument(
+        "--profile", default=None, metavar="DIR",
+        help="write a jax.profiler trace of the run to DIR",
+    )
     sp.add_argument(
         "--spectrum-png", action="store_true", help="render the spectrum to PNG"
     )
