@@ -46,7 +46,11 @@ class ControlServer:
             except ValueError:
                 self._reply(addr, {"error": "invalid json"})
                 continue
-            self._reply(addr, self._handle(req))
+            try:
+                rsp = self._handle(req)
+            except Exception as e:  # a bad value must not kill the server
+                rsp = {"error": f"{type(e).__name__}: {e}"}
+            self._reply(addr, rsp)
 
     def _handle(self, req: dict) -> dict:
         if "set_center_freq" in req:

@@ -431,3 +431,27 @@ class TestWavAndControl:
         assert "error" in _json.loads(sock.recv(4096))
         srv.close()
         sock.close()
+
+    def test_control_server_survives_bad_value(self):
+        import json as _json
+
+        from sdrreceiver_tpu.cli.control import ControlServer
+
+        class FakeClient:
+            freq = None
+
+            def set_center_freq(self, f):
+                self.freq = f
+
+        client = FakeClient()
+        srv = ControlServer(0, rtl_client=client)
+        sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        sock.settimeout(3)
+        sock.sendto(b'{"set_center_freq": "junk"}', ("127.0.0.1", srv.port))
+        assert "error" in _json.loads(sock.recv(4096))
+        # the server must still be alive and functional afterwards
+        sock.sendto(b'{"set_center_freq": 1545601000}', ("127.0.0.1", srv.port))
+        assert _json.loads(sock.recv(4096))["ok"] is True
+        assert client.freq == 1545601000
+        srv.close()
+        sock.close()
