@@ -6,10 +6,12 @@ whole channel plan shifts with the dongle — reproduced here.  Headless
 equivalent: a UDP JSON control socket on localhost.
 
     echo '{"set_center_freq": 1545600000}' | nc -u -w1 127.0.0.1 <port>
+    echo '{"set_bias_tee": 1}' | nc -u -w1 127.0.0.1 <port>
     echo '{"stats": true}' | nc -u -w1 127.0.0.1 <port>   (replies with JSON)
 
-Bias-tee control (sdrj.cpp:202-238) requires local USB hardware, which this
-build does not drive; the rtl_tcp protocol has no bias-tee command.
+Bias-tee control (sdrj.cpp:202-238) works with a local USB source
+(io/rtlusb.RtlUsbDevice); the rtl_tcp protocol has no bias-tee command,
+so on a remote source it reports an error.
 """
 
 from __future__ import annotations
@@ -62,6 +64,14 @@ class ControlServer:
                 return {"ok": True, "center_freq": freq}
             except Exception as e:  # socket errors -> report, keep serving
                 return {"error": str(e)}
+        if "set_bias_tee" in req:
+            on = bool(int(req["set_bias_tee"]))
+            if self._client is None or not hasattr(self._client, "set_bias_tee"):
+                return {"error": "bias tee needs a local USB device"}
+            res = self._client.set_bias_tee(on)
+            if res != 0:
+                return {"error": f"rtlsdr_set_bias_tee failed: {res}"}
+            return {"ok": True, "bias_tee": int(on)}
         if req.get("stats"):
             return self._stats_fn() if self._stats_fn else {"ok": True}
         return {"error": "unknown command"}

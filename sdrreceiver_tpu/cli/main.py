@@ -4,8 +4,10 @@ The reference is ``SDRReceiver -s file.ini`` + a Qt window (main.cpp:9-38).
 This CLI covers the same configuration surface headless, plus the offline
 file mode the reference stubbed out (sdrj.h:28) and planning/bench tools:
 
-  run           live receive (rtl_tcp remote, or an IQ file looped at
-                realtime pace) -> ZMQ egress, exactly like the GUI app
+  run           live receive (local librtlsdr USB, rtl_tcp remote, or an
+                IQ file looped at realtime pace) -> ZMQ egress, exactly
+                like the GUI app
+  devices       list attached RTL USB devices (index, name, serial)
   process-file  offline: IQ recording in, per-channel audio files out
                 (and/or ZMQ egress)
   synth         generate a synthetic USB-channel IQ recording for testing
@@ -329,14 +331,98 @@ def cmd_run(args) -> int:
         finally:
             hub.close()
     else:
-        print(
-            "no source: set remote_rtl in the ini (rtl_tcp) or pass --iq FILE "
-            "(local librtlsdr USB devices are not available in this build)",
-            file=sys.stderr,
-        )
-        return 2
+        from ..io import rtlusb
+
+        if not rtlusb.available():
+            print(
+                "no source: set remote_rtl in the ini (rtl_tcp), pass --iq "
+                "FILE, or install librtlsdr for local USB devices",
+                file=sys.stderr,
+            )
+            return 2
+        # local USB dongle: device pick by serial then index, like the
+        # reference's auto_start (mainwindow.cpp:290-350, sdrj.cpp:306-311)
+        idx = cfg.auto_start_tuner_idx
+        if cfg.auto_start_tuner_serial:
+            idx = rtlusb.index_by_serial(cfg.auto_start_tuner_serial)
+            if idx < 0:
+                print(
+                    f"no device with serial {cfg.auto_start_tuner_serial!r}",
+                    file=sys.stderr,
+                )
+                return 2
+        dev = rtlusb.RtlUsbDevice(idx)
+        ctrl = None
+        try:
+            dev.start(
+                plan.fs, plan.center_frequency, 2 * rx.block, cfg.tuner_gain
+            )
+            if cfg.auto_start_biast:
+                dev.set_bias_tee(True)
+            print(
+                f"rtlsdr device {idx} streaming: fs={plan.fs}, "
+                f"center={plan.center_frequency}, gain={cfg.tuner_gain}",
+                file=sys.stderr,
+            )
+            if args.control_port is not None:
+                from .control import ControlServer
+
+                ctrl = ControlServer(
+                    args.control_port,
+                    rtl_client=dev,
+                    stats_fn=lambda: dict(dev.ring.stats),
+                )
+                print(f"control socket on udp:{ctrl.port}", file=sys.stderr)
+
+            def usb_blocks():
+                while True:
+                    b = dev.ring.pop_raw(timeout_ms=5000)
+                    if b is None:
+                        return
+                    yield jnp.asarray(b)
+
+            metrics = run_pipeline(
+                rx,
+                usb_blocks(),
+                hub.publish_outputs,
+                raw_u8=True,
+                max_blocks=args.max_blocks,
+            )
+            summary = metrics.summary()
+            summary["ring"] = dev.ring.stats
+            print(json.dumps(summary))
+            return 0
+        finally:
+            if ctrl is not None:
+                ctrl.close()
+            dev.close()
+            hub.close()
 
     print(json.dumps(metrics.summary()))
+    return 0
+
+
+def cmd_devices(args) -> int:
+    """List attached RTL USB devices (the reference's sdr::deviceNames,
+    jonti/sdr.cpp:248-273)."""
+    from ..io import rtlusb
+
+    if not rtlusb.available():
+        print("librtlsdr not found", file=sys.stderr)
+        return 2
+    devs = rtlusb.enumerate_devices()
+    for d in devs:
+        print(
+            json.dumps(
+                {
+                    "index": d.index,
+                    "name": d.name,
+                    "manufacturer": d.manufacturer,
+                    "product": d.product,
+                    "serial": d.serial,
+                }
+            )
+        )
     return 0
 
 
@@ -442,6 +528,9 @@ def build_parser() -> argparse.ArgumentParser:
         help="UDP JSON control socket (set_center_freq / stats)",
     )
     sp.set_defaults(fn=cmd_run)
+
+    sp = sub.add_parser("devices", help="list attached RTL USB devices")
+    sp.set_defaults(fn=cmd_devices)
 
     sp = sub.add_parser("bench", help="throughput benchmark")
     common(sp)
