@@ -34,6 +34,7 @@ from ..kernels import (
     ossfft,
     usbdemod,
 )
+from ..utils import planar
 from .plan import ReceiverPlan
 
 __all__ = ["CompiledReceiver", "compile_plan"]
@@ -91,12 +92,25 @@ class CompiledReceiver:
             )
         self._consts: dict[str, Any] = {}
         self._build_consts()
-        self.step_iq = jax.jit(self._step_iq, donate_argnums=(0,))
-        self.step_u8 = jax.jit(self._step_u8, donate_argnums=(0,))
+        # The public steps carry the streaming state PLANAR (utils/planar):
+        # restricted remote-TPU backends cannot take complex64 executable
+        # arguments without losing the ability to transfer ANY output, so
+        # complex state leaves are split to {re, im} f32 across the jit
+        # boundary and recombined inside (XLA fuses both away).
+        self.step_iq = jax.jit(self._planar(self._step_iq), donate_argnums=(0,))
+        self.step_u8 = jax.jit(self._planar(self._step_u8), donate_argnums=(0,))
         # interleaved-float32 entry: remote TPU backends cannot device_put
         # complex64 host arrays, so recordings are fed as raw f32 pairs and
         # packed to complex on device (sdrj.cpp:271-276 semantics)
-        self.step_f32 = jax.jit(self._step_f32, donate_argnums=(0,))
+        self.step_f32 = jax.jit(self._planar(self._step_f32), donate_argnums=(0,))
+
+    @staticmethod
+    def _planar(step):
+        def wrapped(pstate, block):
+            new_state, outputs = step(planar.from_planar(pstate), block)
+            return planar.to_planar(new_state), outputs
+
+        return wrapped
 
     # ---------------------------------------------------------------- consts
     def _fused(
@@ -162,6 +176,15 @@ class CompiledReceiver:
 
     # ----------------------------------------------------------------- state
     def init_state(self) -> dict:
+        """Fresh streaming state, in the planar form the public steps use.
+
+        Built under jit so the complex intermediates never materialize as
+        device buffers: on restricted remote-TPU backends, materializing
+        even one complex64 array breaks every later device->host transfer
+        of the session (see utils/planar)."""
+        return jax.jit(lambda: planar.to_planar(self._init_state()))()
+
+    def _init_state(self) -> dict:
         plan = self.plan
         state: dict[str, Any] = {"dc": dc.dc_init()}
         for g in plan.groups:
