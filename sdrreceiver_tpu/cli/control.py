@@ -9,6 +9,13 @@ equivalent: a UDP JSON control socket on localhost.
     echo '{"set_bias_tee": 1}' | nc -u -w1 127.0.0.1 <port>
     echo '{"stats": true}' | nc -u -w1 127.0.0.1 <port>   (replies with JSON)
 
+With ``run --scope`` the reference's scope controls are also live
+(combo-box VFO select + FFT on/off, mainwindow.cpp:539-566,616-626):
+
+    echo '{"set_scope": "VFO05"}' | nc -u -w1 127.0.0.1 <port>
+    echo '{"set_fft": 0}'        | nc -u -w1 127.0.0.1 <port>
+    echo '{"spectrum": 512}'     | nc -u -w1 127.0.0.1 <port>  (smoothed dB curve)
+
 Bias-tee control (sdrj.cpp:202-238) works with a local USB source
 (io/rtlusb.RtlUsbDevice); the rtl_tcp protocol has no bias-tee command,
 so on a remote source it reports an error.
@@ -24,13 +31,23 @@ __all__ = ["ControlServer"]
 
 
 class ControlServer:
-    def __init__(self, port: int, rtl_client=None, stats_fn=None, host="127.0.0.1"):
+    def __init__(
+        self,
+        port: int,
+        rtl_client=None,
+        stats_fn=None,
+        host="127.0.0.1",
+        commands: dict | None = None,
+    ):
+        """``commands``: extra {name: fn(value) -> reply dict} handlers,
+        e.g. a LiveScope's set_scope/set_fft/spectrum."""
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         self._sock.bind((host, port))
         self._sock.settimeout(0.5)
         self.port = self._sock.getsockname()[1]
         self._client = rtl_client
         self._stats_fn = stats_fn
+        self._commands = dict(commands or {})
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._serve, daemon=True)
         self._thread.start()
@@ -74,6 +91,9 @@ class ControlServer:
             return {"ok": True, "bias_tee": int(on)}
         if req.get("stats"):
             return self._stats_fn() if self._stats_fn else {"ok": True}
+        for name, fn in self._commands.items():
+            if name in req:
+                return fn(req[name])
         return {"error": "unknown command"}
 
     def _reply(self, addr, obj: dict) -> None:

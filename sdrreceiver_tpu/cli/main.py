@@ -32,12 +32,26 @@ def _apply_backend(backend: str | None) -> None:
         jax.config.update("jax_platforms", backend)
 
 
-def _build(args, block=None):
+def _build(args, block=None, all_taps=False):
     from ..graph import build_plan, compile_plan, load_ini
 
     cfg = load_ini(args.settings)
     plan = build_plan(cfg)
-    return cfg, plan, compile_plan(plan, block)
+    taps: tuple = ()
+    if all_taps:
+        # compile every scope tap into the step so the live scope can switch
+        # between them at runtime (only the active one is fetched per block)
+        taps = (
+            ("main",)
+            + tuple(f"g{g.index}" for g in plan.groups)
+            + tuple(
+                s.topic
+                for g in plan.groups
+                for b in g.buckets
+                for s in b.subs
+            )
+        )
+    return cfg, plan, compile_plan(plan, block, emit_taps=taps)
 
 
 def cmd_plan(args) -> int:
@@ -205,9 +219,7 @@ def cmd_process_file(args) -> int:
                     matplotlib.use("Agg")
                     import matplotlib.pyplot as plt
 
-                    fs_tap = plan.fs if args.spectrum == "main" else next(
-                        g.out_rate for g in plan.groups if f"g{g.index}" == args.spectrum
-                    )
+                    fs_tap = rx.tap_rates()[args.spectrum]
                     curve = spectrum.smoothed
                     freqs = (np.arange(len(curve)) - len(curve) / 2) * fs_tap / 8192
                     fig, ax = plt.subplots(figsize=(10, 4))
@@ -241,8 +253,35 @@ def cmd_run(args) -> int:
     from ..core.runtime import run_pipeline
     from ..io import iqfile, rtltcp, zmqpub
 
-    cfg, plan, rx = _build(args, args.block)
+    cfg, plan, rx = _build(args, args.block, all_taps=args.scope is not None)
     hub = zmqpub.EgressHub(plan)
+
+    # live scope: reference's runtime-switchable spectrum (fftVFOSlot)
+    publish = hub.publish_outputs
+    fetch_filter = None
+    ctrl_cmds: dict = {}
+    if args.scope is not None:
+        from ..obs.spectrum import LiveScope
+
+        scope = LiveScope(rx.tap_rates(), initial=args.scope)
+        if scope.active is None:
+            print(
+                f"unknown scope tap {args.scope!r}; valid: "
+                f"{sorted(rx.tap_rates())}",
+                file=sys.stderr,
+            )
+            return 2
+
+        def publish(outs, _pub=hub.publish_outputs, _scope=scope):
+            _scope.observe(outs)
+            return _pub(outs)
+
+        fetch_filter = scope.wants
+        ctrl_cmds = {
+            "set_scope": scope.set_scope,
+            "set_fft": scope.set_fft,
+            "spectrum": scope.snapshot,
+        }
 
     if cfg.remote_rtl and not args.iq:
         client = rtltcp.RtlTcpClient(cfg.remote_rtl)
@@ -258,7 +297,9 @@ def cmd_run(args) -> int:
         if args.control_port is not None:
             from .control import ControlServer
 
-            ctrl = ControlServer(args.control_port, rtl_client=client)
+            ctrl = ControlServer(
+                args.control_port, rtl_client=client, commands=ctrl_cmds
+            )
             print(f"control socket on udp:{ctrl.port}", file=sys.stderr)
         try:
             from ..io import native
@@ -296,9 +337,10 @@ def cmd_run(args) -> int:
             metrics = run_pipeline(
                 rx,
                 raw_blocks,
-                hub.publish_outputs,
+                publish,
                 raw_u8=True,
                 max_blocks=args.max_blocks,
+                fetch_filter=fetch_filter,
             )
             summary = metrics.summary()
             try:
@@ -320,15 +362,24 @@ def cmd_run(args) -> int:
                 yield from iqfile.iter_blocks(iq, rx.block)
 
         blocks = (jnp.asarray(b.view(np.float32)) for b in looped())
+        ctrl = None
+        if args.control_port is not None:
+            from .control import ControlServer
+
+            ctrl = ControlServer(args.control_port, commands=ctrl_cmds)
+            print(f"control socket on udp:{ctrl.port}", file=sys.stderr)
         try:
             metrics = run_pipeline(
                 rx,
                 blocks,
-                hub.publish_outputs,
+                publish,
                 max_blocks=args.max_blocks,
                 realtime_fs=None if args.fast else plan.fs,
+                fetch_filter=fetch_filter,
             )
         finally:
+            if ctrl is not None:
+                ctrl.close()
             hub.close()
     else:
         from ..io import rtlusb
@@ -371,6 +422,7 @@ def cmd_run(args) -> int:
                     args.control_port,
                     rtl_client=dev,
                     stats_fn=lambda: dict(dev.ring.stats),
+                    commands=ctrl_cmds,
                 )
                 print(f"control socket on udp:{ctrl.port}", file=sys.stderr)
 
@@ -384,9 +436,10 @@ def cmd_run(args) -> int:
             metrics = run_pipeline(
                 rx,
                 usb_blocks(),
-                hub.publish_outputs,
+                publish,
                 raw_u8=True,
                 max_blocks=args.max_blocks,
+                fetch_filter=fetch_filter,
             )
             summary = metrics.summary()
             summary["ring"] = dev.ring.stats
@@ -502,7 +555,8 @@ def build_parser() -> argparse.ArgumentParser:
         "--spectrum",
         default=None,
         metavar="TAP",
-        help="export an EMA spectrum of a tap ('main' or 'g<i>') to --out",
+        help="export an EMA spectrum of a tap ('main', 'g<i>', or a VFO "
+        "topic) to --out",
     )
     sp.add_argument("--resume", default=None, help="resume from a state checkpoint")
     sp.add_argument(
@@ -525,7 +579,17 @@ def build_parser() -> argparse.ArgumentParser:
         "--control-port",
         type=int,
         default=None,
-        help="UDP JSON control socket (set_center_freq / stats)",
+        help="UDP JSON control socket (set_center_freq / stats; with "
+        "--scope also set_scope / set_fft / spectrum)",
+    )
+    sp.add_argument(
+        "--scope",
+        nargs="?",
+        const="main",
+        default=None,
+        metavar="TAP",
+        help="enable the live scope on TAP ('main', 'g<i>', or a VFO "
+        "topic; default main) — switchable at runtime via --control-port",
     )
     sp.set_defaults(fn=cmd_run)
 

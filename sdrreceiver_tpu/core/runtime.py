@@ -31,6 +31,7 @@ def run_pipeline(
     realtime_fs: int | None = None,
     state=None,
     return_state: bool = False,
+    fetch_filter: Callable[[str], bool] | None = None,
 ):
     """Drive a CompiledReceiver over a block source.
 
@@ -45,6 +46,10 @@ def run_pipeline(
         (simulates the dongle's 4-or-5-buffers-per-second cadence).
       state: resume from this state pytree (default: fresh rx.init_state()).
       return_state: also return the final state (for checkpointing).
+      fetch_filter: optional per-key predicate; outputs whose key fails it
+        are never copied device->host (e.g. inactive scope taps — the key
+        set is static per compile, which tap gets FETCHED is a runtime
+        choice, evaluated fresh each block).
 
     Returns PipelineMetrics (or (metrics, final_state) with return_state).
     """
@@ -78,7 +83,13 @@ def run_pipeline(
         sent = 0
         if pending is not None and on_outputs is not None:
             # publish the previous block's outputs while this one computes
-            sent = on_outputs({k: fetch_np(v) for k, v in pending.items()})
+            sent = on_outputs(
+                {
+                    k: fetch_np(v)
+                    for k, v in pending.items()
+                    if fetch_filter is None or fetch_filter(k)
+                }
+            )
         pending = outs
         if realtime_fs:
             next_deadline += t_block / realtime_fs
@@ -91,7 +102,11 @@ def run_pipeline(
         jax.block_until_ready(pending)
         if on_outputs is not None:
             metrics.messages_sent += on_outputs(
-                {k: fetch_np(v) for k, v in pending.items()}
+                {
+                    k: fetch_np(v)
+                    for k, v in pending.items()
+                    if fetch_filter is None or fetch_filter(k)
+                }
             )
     metrics.finish()
     if return_state:

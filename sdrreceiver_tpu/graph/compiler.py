@@ -62,7 +62,8 @@ class CompiledReceiver:
         ossfft_min_taps: int | None = 128,
     ):
         """``emit_taps``: also output intermediate baseband for observability
-        — "main" (post-DC input) and/or "g<i>" (group-cascade output), the
+        — "main" (post-DC input), "g<i>" (group-cascade output), and/or a
+        sub-VFO topic (that channel's decimated pre-demod baseband), the
         signals the reference's scope displays (sdrj.cpp:296-303,
         vfo.cpp:290-295).  Keys appear as ``tap/...`` outputs.
 
@@ -81,7 +82,7 @@ class CompiledReceiver:
         self.use_pallas = bool(use_pallas)
         self.pallas_interpret = bool(pallas_interpret)
         self.ossfft_min_taps = ossfft_min_taps
-        valid = {"main"} | {f"g{g.index}" for g in plan.groups}
+        valid = set(self.tap_rates())
         bad = set(self.emit_taps) - valid
         if bad:
             raise ValueError(f"unknown taps {sorted(bad)}; valid: {sorted(valid)}")
@@ -292,6 +293,14 @@ class CompiledReceiver:
                     nbs["cascade"], y = halfband.cascade_apply(
                         bs["cascade"], y, self._consts[f"{bk}/hb"]
                     )
+                for ci, s in enumerate(b.subs):
+                    # per-channel scope: decimated pre-demod baseband, same
+                    # point the reference's per-VFO FFT taps (vfo.cpp:290-295,
+                    # before usb_decimdemod's late ÷5/÷6)
+                    if s.topic in self.emit_taps:
+                        outputs[f"tap/{s.topic}"] = jnp.stack(
+                            [y[ci].real, y[ci].imag]
+                        )
                 if b.late_factor > 1:
                     nbs["late"], y = fir.conv_block(
                         bs["late"], y, self._consts[f"{bk}/late"], b.late_factor
@@ -317,6 +326,18 @@ class CompiledReceiver:
         return new_state, outputs
 
     # ------------------------------------------------------------- metadata
+    def tap_rates(self) -> dict[str, int]:
+        """Valid scope tap name -> its sample rate: "main" (input rate),
+        "g<i>" (group output rate), or a sub-VFO topic (that channel's
+        pre-demod rate, i.e. bucket rate before the late ÷5/÷6 stage)."""
+        r: dict[str, int] = {"main": self.plan.fs}
+        for g in self.plan.groups:
+            r[f"g{g.index}"] = g.out_rate
+            for b in g.buckets:
+                for s in b.subs:
+                    r[s.topic] = b.out_rate * b.late_factor
+        return r
+
     def rates(self) -> dict[str, int]:
         """Output key -> sample rate (the ZMQ wire rate field)."""
         r: dict[str, int] = {}
@@ -342,6 +363,8 @@ class CompiledReceiver:
 
 
 def compile_plan(
-    plan: ReceiverPlan, block_samples: int | None = None
+    plan: ReceiverPlan,
+    block_samples: int | None = None,
+    emit_taps: tuple[str, ...] = (),
 ) -> CompiledReceiver:
-    return CompiledReceiver(plan, block_samples)
+    return CompiledReceiver(plan, block_samples, emit_taps=emit_taps)

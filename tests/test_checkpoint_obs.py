@@ -119,6 +119,65 @@ class TestSpectrum:
         with pytest.raises(ValueError, match="unknown taps"):
             CompiledReceiver(plan, BLOCK, emit_taps=("g9",))
 
+    def test_channel_tap_output(self, plan, iq):
+        # per-VFO scope: decimated pre-demod baseband at the bucket rate
+        # (the reference taps vfo.cpp:290-295 before demod)
+        rx = CompiledReceiver(plan, BLOCK, emit_taps=("VFO01",))
+        assert rx.tap_rates() == {"main": 1536000, "g0": 384000, "VFO01": 12000}
+        state = rx.init_state()
+        _, o = rx.step_iq(state, jnp.asarray(iq[:BLOCK]))
+        assert o["tap/VFO01"].shape == (2, BLOCK * 12000 // 1536000)
+        # the injected channel tone lands in this tap: real signal power
+        z = np.asarray(o["tap/VFO01"][0]) + 1j * np.asarray(o["tap/VFO01"][1])
+        assert np.abs(z).max() > 0
+
+    def test_channel_tap_does_not_change_audio(self, plan, iq):
+        rx0 = CompiledReceiver(plan, BLOCK)
+        rx1 = CompiledReceiver(plan, BLOCK, emit_taps=("VFO01", "main"))
+        _, o0 = rx0.step_iq(rx0.init_state(), jnp.asarray(iq[:BLOCK]))
+        _, o1 = rx1.step_iq(rx1.init_state(), jnp.asarray(iq[:BLOCK]))
+        assert np.array_equal(np.asarray(o0["audio/VFO01"]), np.asarray(o1["audio/VFO01"]))
+
+
+class TestLiveScope:
+    def make(self):
+        from sdrreceiver_tpu.obs.spectrum import LiveScope
+
+        return LiveScope(
+            {"main": 1536000, "g0": 384000, "VFO01": 12000},
+            initial="main",
+            stride=1,
+        )
+
+    def test_fetch_filter(self):
+        s = self.make()
+        assert s.wants("audio/VFO01")  # non-taps always fetched
+        assert s.wants("tap/main")
+        assert not s.wants("tap/VFO01")
+        s.set_scope("VFO01")
+        assert s.wants("tap/VFO01") and not s.wants("tap/main")
+        s.set_fft(0)
+        assert not s.wants("tap/VFO01")
+        assert s.wants("audio/VFO01")
+
+    def test_observe_and_snapshot(self, rng):
+        s = self.make()
+        x = rng.normal(size=(2, 8192)).astype(np.float32)
+        s.observe({"tap/main": x})
+        assert s.ema.pwr.any()
+        snap = s.snapshot(256)
+        assert snap["scope"] == "main" and snap["rate"] == 1536000
+        assert len(snap["db"]) == 256
+        # switching scope resets the EMA (different signal)
+        s.set_scope("g0")
+        assert not s.ema.pwr.any()
+
+    def test_set_scope_validation(self):
+        s = self.make()
+        assert "error" in s.set_scope("NOPE")
+        assert s.set_scope("off") == {"ok": True, "scope": None}
+        assert not s.wants("tap/main")
+
 
 class TestCliIntegration:
     def test_process_file_with_spectrum_and_checkpoint(self, plan, iq, tmp_path, capsys):

@@ -432,6 +432,43 @@ class TestWavAndControl:
         srv.close()
         sock.close()
 
+    def test_control_server_scope_commands(self):
+        import json as _json
+
+        from sdrreceiver_tpu.cli.control import ControlServer
+        from sdrreceiver_tpu.obs.spectrum import LiveScope
+
+        scope = LiveScope({"main": 1536000, "VFO01": 12000}, initial="main")
+        srv = ControlServer(
+            0,
+            commands={
+                "set_scope": scope.set_scope,
+                "set_fft": scope.set_fft,
+                "spectrum": scope.snapshot,
+            },
+        )
+        sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        sock.settimeout(3)
+        try:
+            sock.sendto(b'{"set_scope": "VFO01"}', ("127.0.0.1", srv.port))
+            rsp = _json.loads(sock.recv(4096))
+            assert rsp == {"ok": True, "scope": "VFO01", "rate": 12000}
+            assert scope.wants("tap/VFO01")
+
+            sock.sendto(b'{"set_fft": 0}', ("127.0.0.1", srv.port))
+            assert _json.loads(sock.recv(4096)) == {"ok": True, "fft": 0}
+            assert not scope.wants("tap/VFO01")
+
+            sock.sendto(b'{"spectrum": 64}', ("127.0.0.1", srv.port))
+            rsp = _json.loads(sock.recv(65536))
+            assert rsp["bins"] == 64 and len(rsp["db"]) == 64
+
+            sock.sendto(b'{"set_scope": "BAD"}', ("127.0.0.1", srv.port))
+            assert "error" in _json.loads(sock.recv(4096))
+        finally:
+            srv.close()
+            sock.close()
+
     def test_control_server_survives_bad_value(self):
         import json as _json
 
