@@ -171,6 +171,69 @@ class TestShardedReceiver:
             ShardedReceiver(plan, mesh, block_samples=plan.block_divisor() * 4)
 
 
+def _cband_scale_ini(n_subs: int = 66) -> str:
+    """BASELINE.json config 5: CBAND-style wideband, 3 main groups, 64+
+    sub-VFOs (CBAND_143E.ini's shape scaled up ~4x in channel count)."""
+    centers = (1545116000, 1546096000, 1546796000)
+    rates = (384000, 192000, 192000)
+    lines = [
+        "sample_rate=1536000",
+        "center_frequency=1545900000",
+        "zmq_address=tcp://*:6003",
+        "correct_dc_bias=1",
+        "[main_vfos]",
+        f"size={len(centers)}",
+    ]
+    for i, (f, r) in enumerate(zip(centers, rates), 1):
+        lines += [f"{i}\\frequency={f}", f"{i}\\out_rate={r}"]
+    lines += ["[vfos]", f"size={n_subs}"]
+    for i in range(1, n_subs + 1):
+        g = (i - 1) % 3
+        freq = centers[g] - rates[g] // 3 + (i // 3) * 9000
+        dr = (600, 1200, 10500)[g]
+        lines += [
+            f"{i}\\frequency={freq}",
+            f"{i}\\gain=5",
+            f"{i}\\data_rate={dr}",
+            f"{i}\\topic=CH{i:03d}",
+        ]
+        if i % 5 == 0:
+            lines.append(f"{i}\\filter_bandwidth=4000")
+    return "\n".join(lines)
+
+
+class TestCbandScaleSharded:
+    """64+ sub-VFOs, 3 main groups, channels x time sharded (config 5 minus
+    the physical second host — the mesh spans 8 virtual devices)."""
+
+    def test_64plus_subs_sharded_matches_single_device(self, rng):
+        plan = build_plan(parse_ini_text(_cband_scale_ini(66)))
+        assert plan.num_channels() >= 64 and len(plan.groups) == 3
+        block = plan.block_divisor() * 4
+        t_len = 2 * block
+        n = np.arange(t_len)
+        x = 0.4 * np.exp(2j * np.pi * (-783000 + 900) * n / 1536000)
+        x += 0.3 * np.exp(2j * np.pi * (196000 + 2000) * n / 1536000)
+        x += 0.05 * (rng.standard_normal(t_len) + 1j * rng.standard_normal(t_len))
+        x = (x + (0.5 - 0.25j)).astype(np.complex64)
+
+        def run(rx):
+            state = rx.init_state()
+            outs = []
+            for i in range(0, t_len, rx.block):
+                state, o = rx.step_iq(state, jnp.asarray(x[i : i + rx.block]))
+                outs.append({k: np.asarray(v) for k, v in o.items()})
+            return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
+
+        ref = run(compile_plan(plan, block))
+        got = run(ShardedReceiver(plan, make_mesh(n_time=2, n_chan=4), block))
+        assert set(got) == set(ref) and len(ref) >= 66
+        for k in ref:
+            d = np.abs(got[k].astype(np.int32) - ref[k].astype(np.int32))
+            assert d.max() <= 1, k
+            assert (d > 0).mean() < 1e-3, k
+
+
 class TestMultihost:
     def test_group_assignment_balance(self):
         from sdrreceiver_tpu.dist import multihost
