@@ -37,6 +37,7 @@ def _build(args, block=None, all_taps=False):
 
     cfg = load_ini(args.settings)
     plan = build_plan(cfg)
+    mesh_arg = getattr(args, "mesh", None)
     taps: tuple = ()
     if all_taps:
         # compile every scope tap into the step so the live scope can switch
@@ -51,6 +52,22 @@ def _build(args, block=None, all_taps=False):
                 for s in b.subs
             )
         )
+        if mesh_arg:
+            raise SystemExit("--scope/--spectrum and --mesh are exclusive")
+    if mesh_arg:
+        from ..dist import ShardedReceiver, make_mesh
+
+        try:
+            n_time, n_chan = (int(v) for v in mesh_arg.lower().split("x"))
+        except ValueError:
+            raise SystemExit(f"--mesh wants TxC (e.g. 4x2), got {mesh_arg!r}")
+        mesh = make_mesh(n_time=n_time, n_chan=n_chan)
+        if block is None:
+            # default block: smallest whole multiple of the sharded divisor
+            # that is >= the reference's buffer (plan.block_samples)
+            div = plan.block_divisor() * n_time
+            block = ((plan.block_samples + div - 1) // div) * div
+        return cfg, plan, ShardedReceiver(plan, mesh, block)
     return cfg, plan, compile_plan(plan, block, emit_taps=taps)
 
 
@@ -147,7 +164,13 @@ def cmd_process_file(args) -> int:
     cfg = load_ini(args.settings)
     plan = build_plan(cfg)
     taps = (args.spectrum,) if args.spectrum else ()
-    rx = CompiledReceiver(plan, args.block, emit_taps=taps)
+    if args.mesh:
+        if taps:
+            raise SystemExit("--spectrum and --mesh are exclusive")
+        args.spectrum = None
+        _, _, rx = _build(args, args.block)
+    else:
+        rx = CompiledReceiver(plan, args.block, emit_taps=taps)
     iq = iqfile.read_iq(args.iq, args.format)
     outdir = pathlib.Path(args.out) if args.out else None
     if outdir:
@@ -523,6 +546,13 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--block", type=int, default=None, help="ingest block samples")
         sp.add_argument("--max-blocks", type=int, default=None)
         sp.add_argument("--format", default="u8", choices=["u8", "cf32"])
+        sp.add_argument(
+            "--mesh",
+            default=None,
+            metavar="TxC",
+            help="run sharded over a (time x chan) device mesh, e.g. 4x2 "
+            "(needs T*C devices on the selected backend)",
+        )
         if iq_required:
             sp.add_argument("--iq", required=True, help="IQ recording path")
         else:

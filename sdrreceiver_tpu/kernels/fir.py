@@ -91,6 +91,11 @@ def conv_block(
         padding="VALID",
         dimension_numbers=("NCH", "OIH", "NCH"),
         feature_group_count=chans,
+        # true f32 accumulation: TPU DEFAULT precision multiplies in
+        # bfloat16, which caps the whole chain near ~55 dB vs the 60 dB
+        # audio-SNR bound; these convs are HBM-bound so the extra MXU
+        # passes are free
+        precision=jax.lax.Precision.HIGHEST,
     )
     if jnp.iscomplexobj(x):
         y = jax.lax.complex(out[0], out[1])

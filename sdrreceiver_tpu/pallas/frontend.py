@@ -206,15 +206,28 @@ class MixCascadeKernel:
                 pq = pq_refs[s][:, :]
                 for p in range(2):
                     z = planes[p]
-                    tails = jnp.dot(z, pq, preferred_element_type=jnp.float32)
+                    tails = jnp.dot(
+                        z,
+                        pq,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
                     rolled = pltpu.roll(tails, 1, 0)
                     carried = scratch[2 * s + p][:, :]  # [1, 16], broadcasts
                     shifted = jnp.where(row0, carried, rolled)
                     # stash this tile's last-row tails for the next tile
                     scratch[2 * s + p][:, :] = rolled[0:1, :]
                     y = jnp.dot(
-                        z, mz, preferred_element_type=jnp.float32
-                    ) + jnp.dot(shifted, mt, preferred_element_type=jnp.float32)
+                        z,
+                        mz,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    ) + jnp.dot(
+                        shifted,
+                        mt,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
                     planes[p] = y
 
             yr_ref[0, :, :] = planes[0]
