@@ -91,12 +91,25 @@ def run_pipeline(
                 }
             )
         pending = outs
+        # record COMPUTE time before any pacing sleep — under realtime mode
+        # block_latency would otherwise measure the pacing interval, not the
+        # work, exactly where the 250 ms live budget matters
+        t_compute = time.perf_counter() - t0
+        slack = 0.0
         if realtime_fs:
             next_deadline += t_block / realtime_fs
-            delay = next_deadline - time.perf_counter()
-            if delay > 0:
-                time.sleep(delay)
-        metrics.record_block(t_block, time.perf_counter() - t0, sent)
+            slack = next_deadline - time.perf_counter()
+            if slack > 0:
+                time.sleep(slack)
+            else:
+                # behind realtime: resync instead of sprinting — a real
+                # dongle delivers at wall-clock pace, so lost time is lost
+                # (the reference drops buffers when behind, jonti/sdr.cpp:104)
+                next_deadline = time.perf_counter()
+        metrics.record_block(
+            t_block, t_compute, sent,
+            pacing_slack=slack if realtime_fs else None,
+        )
 
     if pending is not None:
         jax.block_until_ready(pending)

@@ -60,6 +60,7 @@ class CompiledReceiver:
         use_pallas: bool = False,
         pallas_interpret: bool = False,
         ossfft_min_taps: int | None = 128,
+        tap_samples: int | None = 8192,
     ):
         """``emit_taps``: also output intermediate baseband for observability
         — "main" (post-DC input), "g<i>" (group-cascade output), and/or a
@@ -75,13 +76,21 @@ class CompiledReceiver:
         ``ossfft_min_taps``: audio filter banks with at least this many taps
         run through the overlap-save FFT convolution engine (kernels/ossfft —
         the kiss_fastfir capability) instead of direct convolution; None
-        disables."""
+        disables.
+
+        ``tap_samples``: emitted taps are truncated to this many samples in
+        the compiled step (None = full block).  The scope consumes exactly
+        one 8192-point FFT frame per update (mainwindow.cpp:427), so
+        fetching a whole 1.5 Msample main tap over a remote-TPU link would
+        move ~190x more data than used; the default matches the scope's
+        nfft."""
         self.plan = plan
         self.block = int(block_samples or plan.block_samples)
         self.emit_taps = tuple(emit_taps)
         self.use_pallas = bool(use_pallas)
         self.pallas_interpret = bool(pallas_interpret)
         self.ossfft_min_taps = ossfft_min_taps
+        self.tap_samples = tap_samples
         valid = set(self.tap_rates())
         bad = set(self.emit_taps) - valid
         if bad:
@@ -218,6 +227,15 @@ class CompiledReceiver:
         return state
 
     # ------------------------------------------------------------------ step
+    def _tap(self, z: jax.Array) -> jax.Array:
+        """Planar [2, T'] tap of a complex [T] signal, truncated to
+        ``tap_samples`` (taps are emitted planar — remote TPU backends
+        cannot device->host copy complex arrays)."""
+        lim = self.tap_samples
+        if lim is not None and z.shape[-1] > lim:
+            z = z[..., :lim]
+        return jnp.stack([z.real, z.imag])
+
     def _step_u8(self, state: dict, raw: jax.Array):
         return self._step_iq(state, ingest.u8_iq_to_complex(raw))
 
@@ -234,9 +252,7 @@ class CompiledReceiver:
         else:
             new_state["dc"], x = state["dc"], iq
         if "main" in self.emit_taps:
-            # taps are emitted PLANAR ([2, T] float32, not complex64): some
-            # remote TPU backends cannot device->host copy complex arrays
-            outputs["tap/main"] = jnp.stack([x.real, x.imag])
+            outputs["tap/main"] = self._tap(x)
 
         for g in plan.groups:
             gk = f"g{g.index}"
@@ -264,7 +280,7 @@ class CompiledReceiver:
                     gs["cascade"], z, self._consts[f"{gk}/hb"]
                 )
             if gk in self.emit_taps:
-                outputs[f"tap/{gk}"] = jnp.stack([z[0].real, z[0].imag])
+                outputs[f"tap/{gk}"] = self._tap(z[0])
             if g.publishes_iq:
                 outputs[f"iq/{g.zmq_topic}"] = compress.compress_style1(
                     z[0], float(g.compress_scale)
@@ -298,9 +314,7 @@ class CompiledReceiver:
                     # point the reference's per-VFO FFT taps (vfo.cpp:290-295,
                     # before usb_decimdemod's late ÷5/÷6)
                     if s.topic in self.emit_taps:
-                        outputs[f"tap/{s.topic}"] = jnp.stack(
-                            [y[ci].real, y[ci].imag]
-                        )
+                        outputs[f"tap/{s.topic}"] = self._tap(y[ci])
                 if b.late_factor > 1:
                     nbs["late"], y = fir.conv_block(
                         bs["late"], y, self._consts[f"{bk}/late"], b.late_factor
@@ -333,8 +347,20 @@ class CompiledReceiver:
         r: dict[str, int] = {"main": self.plan.fs}
         for g in self.plan.groups:
             r[f"g{g.index}"] = g.out_rate
+        for g in self.plan.groups:
             for b in g.buckets:
                 for s in b.subs:
+                    if s.topic in r:
+                        # a topic literally named "main"/"g<i>" (or repeated)
+                        # would silently shadow another tap's rate AND its
+                        # tap/<name> output key — the scope would show the
+                        # wrong signal with no way to detect it
+                        raise ValueError(
+                            f"scope tap name collision: sub-VFO topic "
+                            f"{s.topic!r} clashes with an existing tap "
+                            f"(built-ins: 'main', 'g<i>'; topics must be "
+                            f"unique)"
+                        )
                     r[s.topic] = b.out_rate * b.late_factor
         return r
 

@@ -26,6 +26,7 @@ class PipelineMetrics:
     started_at: float = 0.0
     finished_at: float = 0.0
     block_seconds: list[float] = dataclasses.field(default_factory=list)
+    pacing_slack_seconds: list[float] = dataclasses.field(default_factory=list)
 
     def start(self) -> None:
         self.started_at = time.perf_counter()
@@ -33,11 +34,23 @@ class PipelineMetrics:
     def finish(self) -> None:
         self.finished_at = time.perf_counter()
 
-    def record_block(self, n_samples: int, seconds: float, sent: int = 0) -> None:
+    def record_block(
+        self,
+        n_samples: int,
+        seconds: float,
+        sent: int = 0,
+        pacing_slack: float | None = None,
+    ) -> None:
+        """``seconds`` is COMPUTE time (dispatch + publish of the previous
+        block), excluding any realtime pacing sleep; the sleep's headroom is
+        reported separately as ``pacing_slack`` (negative = falling behind
+        realtime)."""
         self.samples_in += n_samples
         self.blocks += 1
         self.messages_sent += sent
         self.block_seconds.append(seconds)
+        if pacing_slack is not None:
+            self.pacing_slack_seconds.append(pacing_slack)
 
     @property
     def wall_seconds(self) -> float:
@@ -50,7 +63,7 @@ class PipelineMetrics:
 
     def summary(self) -> dict:
         lat = np.asarray(self.block_seconds[1:] or [0.0])  # skip compile block
-        return {
+        out = {
             "samples_in": self.samples_in,
             "blocks": self.blocks,
             "dropped_blocks": self.dropped_blocks,
@@ -63,6 +76,14 @@ class PipelineMetrics:
                 "max": round(float(lat.max()) * 1e3, 3),
             },
         }
+        if self.pacing_slack_seconds:
+            slack = np.asarray(self.pacing_slack_seconds[1:] or [0.0])
+            out["pacing_slack_ms"] = {
+                "p50": round(float(np.percentile(slack, 50)) * 1e3, 3),
+                "min": round(float(slack.min()) * 1e3, 3),
+                "behind_blocks": int((slack < 0).sum()),
+            }
+        return out
 
     def dump(self) -> str:
         return json.dumps(self.summary())

@@ -17,13 +17,15 @@ import numpy as np
 __all__ = ["fetch_np", "fetch_outputs"]
 
 _copy = jax.jit(lambda a: jnp.copy(a))
-_need_copy: bool | None = None  # resolved lazily per backend
 
 
-def _resolve_need_copy(x) -> bool:
+def _need_copy(x) -> bool:
     # On the axon remote backend a FAILED direct transfer can poison the
     # session stream, so never even try it there — always go through the
-    # jitted standalone copy.  Other backends transfer directly.
+    # jitted standalone copy.  Other backends transfer directly.  Resolved
+    # PER ARRAY (not cached globally): one process can hold arrays on both
+    # a CPU test backend and a restricted remote backend, and the first
+    # array seen must not decide for the rest.
     try:
         platform = x.devices().pop().platform if hasattr(x, "devices") else "cpu"
     except Exception:
@@ -33,12 +35,9 @@ def _resolve_need_copy(x) -> bool:
 
 def fetch_np(x) -> np.ndarray:
     """Host numpy array of a device array, via a standalone device copy."""
-    global _need_copy
     if isinstance(x, np.ndarray):
         return x
-    if _need_copy is None:
-        _need_copy = _resolve_need_copy(x)
-    if not _need_copy:
+    if not _need_copy(x):
         return np.asarray(x)
     return np.asarray(_copy(x))
 

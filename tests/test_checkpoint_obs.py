@@ -109,11 +109,33 @@ class TestSpectrum:
         assert s.smoothed.shape == (246,)
 
     def test_tap_outputs(self, plan, iq):
+        # taps are truncated to the scope's nfft (8192) in the compiled step:
+        # the EMA consumes exactly one FFT frame per update, so fetching the
+        # rest would waste device->host bandwidth (ADVICE r1)
         rx = CompiledReceiver(plan, BLOCK, emit_taps=("main", "g0"))
         state = rx.init_state()
         _, o = rx.step_iq(state, jnp.asarray(iq[:BLOCK]))
+        assert o["tap/main"].shape == (2, 8192)
+        assert o["tap/g0"].shape == (2, min(BLOCK // 4, 8192))
+
+    def test_tap_full_block_when_untruncated(self, plan, iq):
+        rx = CompiledReceiver(plan, BLOCK, emit_taps=("main",), tap_samples=None)
+        _, o = rx.step_iq(rx.init_state(), jnp.asarray(iq[:BLOCK]))
         assert o["tap/main"].shape == (2, BLOCK)
-        assert o["tap/g0"].shape == (2, BLOCK // 4)
+        # truncated tap == prefix of the full tap
+        rx2 = CompiledReceiver(plan, BLOCK, emit_taps=("main",))
+        _, o2 = rx2.step_iq(rx2.init_state(), jnp.asarray(iq[:BLOCK]))
+        np.testing.assert_array_equal(
+            np.asarray(o["tap/main"])[:, :8192], np.asarray(o2["tap/main"])
+        )
+
+    def test_tap_topic_collision_rejected(self):
+        # a sub-VFO topic literally named like a built-in tap would silently
+        # shadow it in the flat tap namespace — must be rejected loudly
+        bad = INI.replace("1\\topic=VFO01", "1\\topic=g0")
+        plan = build_plan(parse_ini_text(bad))
+        with pytest.raises(ValueError, match="collision"):
+            CompiledReceiver(plan, BLOCK)
 
     def test_invalid_tap_rejected(self, plan):
         with pytest.raises(ValueError, match="unknown taps"):
@@ -177,6 +199,72 @@ class TestLiveScope:
         assert "error" in s.set_scope("NOPE")
         assert s.set_scope("off") == {"ok": True, "scope": None}
         assert not s.wants("tap/main")
+
+    def test_stride_aware_fetch(self, rng):
+        """wants() only fetches the tap on blocks whose frame the EMA will
+        consume — every stride-th, first frame immediately (ADVICE r1)."""
+        from sdrreceiver_tpu.obs.spectrum import LiveScope
+
+        s = LiveScope({"main": 1536000}, initial="main", stride=5)
+        x = rng.normal(size=(2, 8192)).astype(np.float32)
+        fetched = []
+        for i in range(12):
+            want = s.wants("tap/main")
+            fetched.append(want)
+            s.observe({"tap/main": x} if want else {})
+        assert fetched == [
+            True, False, False, False, False,
+            True, False, False, False, False,
+            True, False,
+        ]
+        assert s.ema.pwr.any()
+        # scope switch resets the cadence: next block fetches immediately
+        s.tap_rates["g0"] = 384000
+        s.set_scope("g0")
+        assert s.wants("tap/g0")
+
+    def test_planar_update_stays_planar(self, rng):
+        """SpectrumEMA.update on a planar [2, T] tap must not device_put a
+        complex host array (poisons restricted remote-TPU backends)."""
+        import sdrreceiver_tpu.obs.spectrum as spec_mod
+
+        planar = rng.normal(size=(2, 4096)).astype(np.float32)
+        z = planar[0] + 1j * planar[1]
+
+        orig = jnp.asarray
+        seen_complex = []
+
+        def guarded(x, *a, **k):
+            arr = np.asarray(x) if isinstance(x, np.ndarray) else x
+            if isinstance(arr, np.ndarray) and np.iscomplexobj(arr):
+                seen_complex.append(arr.dtype)
+            return orig(x, *a, **k)
+
+        s = spec_mod.SpectrumEMA(nfft=2048)
+        jnp_mod = spec_mod.jnp
+        try:
+            jnp_mod.asarray = guarded
+            s.update(planar)
+        finally:
+            jnp_mod.asarray = orig
+        assert not seen_complex, "complex host array reached jnp.asarray"
+        # and the planar result equals the complex-input result
+        s2 = spec_mod.SpectrumEMA(nfft=2048)
+        s2.update(z.astype(np.complex64))
+        np.testing.assert_allclose(s.pwr, s2.pwr, rtol=1e-5, atol=1e-5)
+
+    def test_snapshot_symmetric_trim(self):
+        from sdrreceiver_tpu.obs.spectrum import LiveScope
+
+        s = LiveScope({"main": 1536000}, initial="main")
+        # impose a known asymmetric curve: rising ramp
+        s.ema.pwr = np.arange(8192, dtype=np.float64)
+        snap = s.snapshot(512)
+        db = np.asarray(snap["db"])
+        curve = s.ema.smoothed
+        # the folded curve's mean must sit at the curve's center (symmetric
+        # trim); a one-sided trim of 502 points would bias it low
+        assert abs(db.mean() - curve.mean()) < 1.0
 
 
 class TestCliIntegration:
