@@ -32,16 +32,18 @@ def _apply_backend(backend: str | None) -> None:
         jax.config.update("jax_platforms", backend)
 
 
-def _build(args, block=None, all_taps=False):
+def _build(args, block=None, taps=()):
+    """Build the receiver for a CLI command.  ``taps``: tuple of scope tap
+    names to compile into the step, or ``"all"`` to emit every valid tap (the
+    live scope switches between them at runtime; only the active one is
+    fetched per block).  Taps compose with ``--mesh`` — the sharded receiver
+    carries the same observability surface as the single-device one."""
     from ..graph import build_plan, compile_plan, load_ini
 
     cfg = load_ini(args.settings)
     plan = build_plan(cfg)
     mesh_arg = getattr(args, "mesh", None)
-    taps: tuple = ()
-    if all_taps:
-        # compile every scope tap into the step so the live scope can switch
-        # between them at runtime (only the active one is fetched per block)
+    if taps == "all":
         taps = (
             ("main",)
             + tuple(f"g{g.index}" for g in plan.groups)
@@ -52,8 +54,6 @@ def _build(args, block=None, all_taps=False):
                 for s in b.subs
             )
         )
-        if mesh_arg:
-            raise SystemExit("--scope/--spectrum and --mesh are exclusive")
     if mesh_arg:
         from ..dist import ShardedReceiver, make_mesh
 
@@ -67,8 +67,8 @@ def _build(args, block=None, all_taps=False):
             # that is >= the reference's buffer (plan.block_samples)
             div = plan.block_divisor() * n_time
             block = ((plan.block_samples + div - 1) // div) * div
-        return cfg, plan, ShardedReceiver(plan, mesh, block)
-    return cfg, plan, compile_plan(plan, block, emit_taps=taps)
+        return cfg, plan, ShardedReceiver(plan, mesh, block, emit_taps=tuple(taps))
+    return cfg, plan, compile_plan(plan, block, emit_taps=tuple(taps))
 
 
 def cmd_plan(args) -> int:
@@ -157,20 +157,11 @@ def cmd_process_file(args) -> int:
     from ..core import checkpoint
     from ..core.runtime import run_pipeline
     from ..graph import build_plan, load_ini
-    from ..graph.compiler import CompiledReceiver
     from ..io import iqfile, zmqpub
     from ..obs.spectrum import SpectrumEMA
 
-    cfg = load_ini(args.settings)
-    plan = build_plan(cfg)
     taps = (args.spectrum,) if args.spectrum else ()
-    if args.mesh:
-        if taps:
-            raise SystemExit("--spectrum and --mesh are exclusive")
-        args.spectrum = None
-        _, _, rx = _build(args, args.block)
-    else:
-        rx = CompiledReceiver(plan, args.block, emit_taps=taps)
+    cfg, plan, rx = _build(args, args.block, taps=taps)
     iq = iqfile.read_iq(args.iq, args.format)
     outdir = pathlib.Path(args.out) if args.out else None
     if outdir:
@@ -276,7 +267,7 @@ def cmd_run(args) -> int:
     from ..core.runtime import run_pipeline
     from ..io import iqfile, rtltcp, zmqpub
 
-    cfg, plan, rx = _build(args, args.block, all_taps=args.scope is not None)
+    cfg, plan, rx = _build(args, args.block, taps="all" if args.scope is not None else ())
     hub = zmqpub.EgressHub(plan)
 
     # live scope: reference's runtime-switchable spectrum (fftVFOSlot)

@@ -8,6 +8,11 @@ rate but wide in channels) are sharded across the ``chan`` axis via
 ``with_sharding_constraint`` — XLA's SPMD partitioner splits the grouped
 convolutions by feature group and inserts any needed collectives.
 
+The bucket back half is CompiledReceiver._bucket_step verbatim — scope taps,
+late ÷5/÷6, USB demod, direct or overlap-save-FFT audio filtering and int16
+quantization are the same code object in both execution modes, so sharded
+runs carry the full feature surface (emit_taps, ossfft) by construction.
+
 Sharded output == single-device output bit-for-bit (tested in
 tests/test_dist.py); the mesh only changes where the FLOPs run.
 """
@@ -20,7 +25,6 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..graph.compiler import CompiledReceiver
 from ..graph.plan import ReceiverPlan
-from ..kernels import compress, dc, fir, halfband, nco, usbdemod
 from . import halo
 from .mesh import CHAN_AXIS, TIME_AXIS
 
@@ -33,13 +37,24 @@ class ShardedReceiver(CompiledReceiver):
         plan: ReceiverPlan,
         mesh: jax.sharding.Mesh,
         block_samples: int | None = None,
+        **kwargs,
     ):
+        """Accepts every CompiledReceiver option (``emit_taps``,
+        ``ossfft_min_taps``, ``tap_samples``, ...) except ``use_pallas``:
+        Pallas kernels are not SPMD-partitionable without a custom
+        partitioning rule, so they are rejected loudly rather than silently
+        gathered onto one device."""
+        if kwargs.get("use_pallas"):
+            raise ValueError(
+                "use_pallas is not supported under a device mesh yet "
+                "(pallas_call has no SPMD partitioning rule here)"
+            )
         self.mesh = mesh
         if TIME_AXIS not in mesh.axis_names:
             raise ValueError(f"mesh needs a {TIME_AXIS!r} axis")
         self.n_time = mesh.shape[TIME_AXIS]
         self.n_chan = mesh.shape.get(CHAN_AXIS, 1)
-        super().__init__(plan, block_samples)
+        super().__init__(plan, block_samples, **kwargs)
         need = plan.block_divisor() * self.n_time
         if self.block % need:
             raise ValueError(
@@ -48,9 +63,20 @@ class ShardedReceiver(CompiledReceiver):
             )
 
     # -- front end under shard_map ------------------------------------------
-    def _front_end(self, front_state: dict, x: jax.Array):
+    def _front(self, state: dict, iq: jax.Array):
         plan = self.plan
         t_local = self.block // self.n_time
+
+        front_state = {"dc": state["dc"]}
+        for g in plan.groups:
+            gk = f"g{g.index}"
+            if g.direct:
+                front_state[gk] = {}
+            else:
+                front_state[gk] = {
+                    "nco": state[gk]["nco"],
+                    "cascade": state[gk]["cascade"],
+                }
 
         def local_fn(st: dict, x_local: jax.Array):
             new_st: dict = {}
@@ -76,78 +102,25 @@ class ShardedReceiver(CompiledReceiver):
                 )
                 new_st[gk] = {"nco": nco_state, "cascade": hists}
                 zs[gk] = z
-            return new_st, zs
+            return new_st, y, zs
 
         zs_specs = {f"g{g.index}": P(None, TIME_AXIS) for g in self.plan.groups}
-        return jax.shard_map(
-            local_fn,
-            mesh=self.mesh,
-            in_specs=(P(), P(TIME_AXIS)),
-            out_specs=(P(), zs_specs),
-            check_vma=False,
-        )(front_state, x)
-
-    # -- full step ----------------------------------------------------------
-    def _step_iq(self, state: dict, iq: jax.Array):
-        plan = self.plan
-        outputs: dict[str, jax.Array] = {}
-
-        front_state = {"dc": state["dc"]}
-        for g in plan.groups:
-            gk = f"g{g.index}"
-            if g.direct:
-                front_state[gk] = {}
-            else:
-                front_state[gk] = {
-                    "nco": state[gk]["nco"],
-                    "cascade": state[gk]["cascade"],
-                }
-
         iq = jax.lax.with_sharding_constraint(
             iq, NamedSharding(self.mesh, P(TIME_AXIS))
         )
-        new_front, zs = self._front_end(front_state, iq)
+        new_front, x, zs = jax.shard_map(
+            local_fn,
+            mesh=self.mesh,
+            in_specs=(P(), P(TIME_AXIS)),
+            out_specs=(P(), P(TIME_AXIS), zs_specs),
+            check_vma=False,
+        )(front_state, iq)
+        return dict(new_front), x, zs
 
-        new_state: dict = {"dc": new_front["dc"]}
-        chan_spec = (
-            P(CHAN_AXIS, None) if CHAN_AXIS in self.mesh.axis_names else None
-        )
-
-        for g in plan.groups:
-            gk = f"g{g.index}"
-            gs = state[gk]
-            ngs: dict = dict(new_front[gk]) if not g.direct else {}
-            z = zs[gk]
-            if g.publishes_iq:
-                outputs[f"iq/{g.zmq_topic}"] = compress.compress_style1(
-                    z[0], float(g.compress_scale)
-                )
-            for bi, b in enumerate(g.buckets):
-                bk = f"{gk}/b{bi}"
-                bs = gs[f"b{bi}"]
-                nbs: dict = {}
-                nbs["nco"], y = nco.mix_block(bs["nco"], z[0], g.out_rate)
-                if chan_spec is not None and b.channels >= self.n_chan:
-                    y = jax.lax.with_sharding_constraint(
-                        y, NamedSharding(self.mesh, chan_spec)
-                    )
-                nbs["cascade"], y = halfband.cascade_apply(
-                    bs["cascade"], y, self._consts[f"{bk}/hb"]
-                )
-                if b.late_factor > 1:
-                    nbs["late"], y = fir.conv_block(
-                        bs["late"], y, self._consts[f"{bk}/late"], b.late_factor
-                    )
-                nbs["usb"], audio = usbdemod.usb_block(
-                    bs["usb"], y, self._consts[f"{bk}/hilbert"]
-                )
-                if f"{bk}/audio" in self._consts:
-                    nbs["audio"], audio = fir.conv_block(
-                        bs["audio"], audio, self._consts[f"{bk}/audio"]
-                    )
-                pcm = usbdemod.quantize_i16(audio, self._consts[f"{bk}/gains"])
-                for ci, s in enumerate(b.subs):
-                    outputs[f"audio/{s.topic}"] = pcm[ci]
-                ngs[f"b{bi}"] = nbs
-            new_state[gk] = ngs
-        return new_state, outputs
+    # -- bucket hook: pin the channel axis to the chan mesh axis -------------
+    def _constrain_chan(self, y: jax.Array, channels: int) -> jax.Array:
+        if CHAN_AXIS in self.mesh.axis_names and channels >= self.n_chan:
+            return jax.lax.with_sharding_constraint(
+                y, NamedSharding(self.mesh, P(CHAN_AXIS, None))
+            )
+        return y

@@ -242,24 +242,25 @@ class CompiledReceiver:
     def _step_f32(self, state: dict, raw: jax.Array):
         return self._step_iq(state, ingest.f32_pairs_to_complex(raw))
 
-    def _step_iq(self, state: dict, iq: jax.Array):
+    def _front(self, state: dict, iq: jax.Array):
+        """DC removal + every group's full-rate mix + half-band cascade.
+
+        Returns ``(partial new_state, post-DC input x, {gk: z [1, Tg]})``.
+        ``ShardedReceiver`` overrides this with a shard_map over the time
+        mesh axis; the bucket back half below is shared."""
         plan = self.plan
         new_state: dict[str, Any] = {}
-        outputs: dict[str, jax.Array] = {}
-
         if plan.dc_correct:
             new_state["dc"], x = dc.dc_block(state["dc"], iq)
         else:
             new_state["dc"], x = state["dc"], iq
-        if "main" in self.emit_taps:
-            outputs["tap/main"] = self._tap(x)
-
+        zs: dict[str, jax.Array] = {}
         for g in plan.groups:
             gk = f"g{g.index}"
             gs = state[gk]
             ngs: dict[str, Any] = {}
             if g.direct:
-                z = x[None, :]
+                zs[gk] = x[None, :]
             elif gk in self._kernels:
                 kern = self._kernels[gk]
                 yr, yi, hbp = kern(
@@ -268,7 +269,7 @@ class CompiledReceiver:
                     x.real[None, :],
                     x.imag[None, :],
                 )
-                z = jax.lax.complex(yr, yi)
+                zs[gk] = jax.lax.complex(yr, yi)
                 ngs["nco"] = dict(gs["nco"])
                 ngs["nco"]["phase"] = nco.advance_per_block(
                     gs["nco"], plan.fs, self.block
@@ -279,64 +280,101 @@ class CompiledReceiver:
                 ngs["cascade"], z = halfband.cascade_apply(
                     gs["cascade"], z, self._consts[f"{gk}/hb"]
                 )
+                zs[gk] = z
+            new_state[gk] = ngs
+        return new_state, x, zs
+
+    def _constrain_chan(self, y: jax.Array, channels: int) -> jax.Array:
+        """Hook: ShardedReceiver pins bucket tensors to the chan mesh axis."""
+        return y
+
+    def _bucket_step(
+        self,
+        g,
+        bi: int,
+        bs: dict,
+        z: jax.Array,
+        outputs: dict[str, jax.Array],
+    ) -> dict:
+        """One sub-VFO bucket's full pipeline on the group baseband ``z``:
+        mix, half-band cascade, per-channel scope taps, late ÷5/÷6, USB
+        demod, audio low-pass (direct or overlap-save FFT), int16 quantize.
+        Shared verbatim by the single-device and sharded receivers so the
+        two can never diverge in features again."""
+        b = g.buckets[bi]
+        bk = f"g{g.index}/b{bi}"
+        nbs: dict[str, Any] = {}
+        if bk in self._kernels:
+            kern = self._kernels[bk]
+            yr, yi, hbp = kern(
+                bs["nco"]["phase"].astype(jnp.int32),
+                bs["cascade_p"],
+                z.real,  # [1, Tg]: shared_input reads one block
+                z.imag,
+            )
+            y = jax.lax.complex(yr, yi)
+            nbs["nco"] = dict(bs["nco"])
+            nbs["nco"]["phase"] = nco.advance_per_block(
+                bs["nco"], g.out_rate, z.shape[-1]
+            )
+            nbs["cascade_p"] = hbp
+        else:
+            nbs["nco"], y = nco.mix_block(bs["nco"], z[0], g.out_rate)
+            y = self._constrain_chan(y, b.channels)
+            nbs["cascade"], y = halfband.cascade_apply(
+                bs["cascade"], y, self._consts[f"{bk}/hb"]
+            )
+        for ci, s in enumerate(b.subs):
+            # per-channel scope: decimated pre-demod baseband, same
+            # point the reference's per-VFO FFT taps (vfo.cpp:290-295,
+            # before usb_decimdemod's late ÷5/÷6)
+            if s.topic in self.emit_taps:
+                outputs[f"tap/{s.topic}"] = self._tap(y[ci])
+        if b.late_factor > 1:
+            nbs["late"], y = fir.conv_block(
+                bs["late"], y, self._consts[f"{bk}/late"], b.late_factor
+            )
+        nbs["usb"], audio = usbdemod.usb_block(
+            bs["usb"], y, self._consts[f"{bk}/hilbert"]
+        )
+        if f"{bk}/audio_oss" in self._consts:
+            # long filters: overlap-save FFT convolution engine
+            nbs["audio"], audio = ossfft.oss_block(
+                bs["audio"], audio, self._consts[f"{bk}/audio_oss"]
+            )
+            audio = audio.real
+        elif f"{bk}/audio" in self._consts:
+            nbs["audio"], audio = fir.conv_block(
+                bs["audio"], audio, self._consts[f"{bk}/audio"]
+            )
+        pcm = usbdemod.quantize_i16(audio, self._consts[f"{bk}/gains"])
+        for ci, s in enumerate(b.subs):
+            outputs[f"audio/{s.topic}"] = pcm[ci]
+        return nbs
+
+    def _step_iq(self, state: dict, iq: jax.Array):
+        plan = self.plan
+        outputs: dict[str, jax.Array] = {}
+
+        new_state, x, zs = self._front(state, iq)
+        if "main" in self.emit_taps:
+            outputs["tap/main"] = self._tap(x)
+
+        for g in plan.groups:
+            gk = f"g{g.index}"
+            gs = state[gk]
+            ngs = new_state[gk]
+            z = zs[gk]
             if gk in self.emit_taps:
                 outputs[f"tap/{gk}"] = self._tap(z[0])
             if g.publishes_iq:
                 outputs[f"iq/{g.zmq_topic}"] = compress.compress_style1(
                     z[0], float(g.compress_scale)
                 )
-
-            for bi, b in enumerate(g.buckets):
-                bk = f"{gk}/b{bi}"
-                bs = gs[f"b{bi}"]
-                nbs: dict[str, Any] = {}
-                if bk in self._kernels:
-                    kern = self._kernels[bk]
-                    yr, yi, hbp = kern(
-                        bs["nco"]["phase"].astype(jnp.int32),
-                        bs["cascade_p"],
-                        z.real,  # [1, Tg]: shared_input reads one block
-                        z.imag,
-                    )
-                    y = jax.lax.complex(yr, yi)
-                    nbs["nco"] = dict(bs["nco"])
-                    nbs["nco"]["phase"] = nco.advance_per_block(
-                        bs["nco"], g.out_rate, z.shape[-1]
-                    )
-                    nbs["cascade_p"] = hbp
-                else:
-                    nbs["nco"], y = nco.mix_block(bs["nco"], z[0], g.out_rate)
-                    nbs["cascade"], y = halfband.cascade_apply(
-                        bs["cascade"], y, self._consts[f"{bk}/hb"]
-                    )
-                for ci, s in enumerate(b.subs):
-                    # per-channel scope: decimated pre-demod baseband, same
-                    # point the reference's per-VFO FFT taps (vfo.cpp:290-295,
-                    # before usb_decimdemod's late ÷5/÷6)
-                    if s.topic in self.emit_taps:
-                        outputs[f"tap/{s.topic}"] = self._tap(y[ci])
-                if b.late_factor > 1:
-                    nbs["late"], y = fir.conv_block(
-                        bs["late"], y, self._consts[f"{bk}/late"], b.late_factor
-                    )
-                nbs["usb"], audio = usbdemod.usb_block(
-                    bs["usb"], y, self._consts[f"{bk}/hilbert"]
+            for bi in range(len(g.buckets)):
+                ngs[f"b{bi}"] = self._bucket_step(
+                    g, bi, gs[f"b{bi}"], z, outputs
                 )
-                if f"{bk}/audio_oss" in self._consts:
-                    # long filters: overlap-save FFT convolution engine
-                    nbs["audio"], audio = ossfft.oss_block(
-                        bs["audio"], audio, self._consts[f"{bk}/audio_oss"]
-                    )
-                    audio = audio.real
-                elif f"{bk}/audio" in self._consts:
-                    nbs["audio"], audio = fir.conv_block(
-                        bs["audio"], audio, self._consts[f"{bk}/audio"]
-                    )
-                pcm = usbdemod.quantize_i16(audio, self._consts[f"{bk}/gains"])
-                for ci, s in enumerate(b.subs):
-                    outputs[f"audio/{s.topic}"] = pcm[ci]
-                ngs[f"b{bi}"] = nbs
-            new_state[gk] = ngs
         return new_state, outputs
 
     # ------------------------------------------------------------- metadata
