@@ -37,11 +37,38 @@ def _build(args, block=None, taps=()):
     names to compile into the step, or ``"all"`` to emit every valid tap (the
     live scope switches between them at runtime; only the active one is
     fetched per block).  Taps compose with ``--mesh`` — the sharded receiver
-    carries the same observability surface as the single-device one."""
+    carries the same observability surface as the single-device one.
+
+    With ``--coordinator`` (multi-host mode) this process joins the
+    jax.distributed coordination service and the plan is restricted to the
+    groups assigned to this process; the returned receiver covers only this
+    host's channels and ``args._multihost`` carries the assignment info for
+    the command's summary output."""
     from ..graph import build_plan, compile_plan, load_ini
 
     cfg = load_ini(args.settings)
     plan = build_plan(cfg)
+    args._multihost = None
+    local_devices = None
+    if getattr(args, "coordinator", None):
+        from ..dist import multihost
+
+        plan, args._multihost = multihost.distributed_subplan(
+            plan,
+            args.coordinator,
+            getattr(args, "num_processes", None),
+            getattr(args, "process_id", None),
+        )
+        if not plan.groups:
+            raise SystemExit(
+                f"process {args._multihost['process_id']} was assigned no "
+                f"groups ({args._multihost['num_processes']} processes > "
+                f"{len(args._multihost['assignment'])} groups)"
+            )
+        # meshes must span only THIS host's chips: halos ride ICI, never DCN
+        import jax
+
+        local_devices = jax.local_devices()
     mesh_arg = getattr(args, "mesh", None)
     if taps == "all":
         taps = (
@@ -61,7 +88,7 @@ def _build(args, block=None, taps=()):
             n_time, n_chan = (int(v) for v in mesh_arg.lower().split("x"))
         except ValueError:
             raise SystemExit(f"--mesh wants TxC (e.g. 4x2), got {mesh_arg!r}")
-        mesh = make_mesh(n_time=n_time, n_chan=n_chan)
+        mesh = make_mesh(n_time=n_time, n_chan=n_chan, devices=local_devices)
         if block is None:
             # default block: smallest whole multiple of the sharded divisor
             # that is >= the reference's buffer (plan.block_samples)
@@ -254,6 +281,8 @@ def cmd_process_file(args) -> int:
         hub.close()
 
     out = metrics.summary()
+    if args._multihost:
+        out["multihost"] = args._multihost
     out["outputs_written"] = sorted(written)
     out["realtime_factor"] = round(metrics.samples_per_second / plan.fs, 2)
     print(json.dumps(out))
@@ -361,6 +390,8 @@ def cmd_run(args) -> int:
                 summary["ring"] = ring.stats
             except Exception:
                 pass
+            if args._multihost:
+                summary["multihost"] = args._multihost
             print(json.dumps(summary))
             return 0
         finally:
@@ -457,6 +488,8 @@ def cmd_run(args) -> int:
             )
             summary = metrics.summary()
             summary["ring"] = dev.ring.stats
+            if args._multihost:
+                summary["multihost"] = args._multihost
             print(json.dumps(summary))
             return 0
         finally:
@@ -465,7 +498,10 @@ def cmd_run(args) -> int:
             dev.close()
             hub.close()
 
-    print(json.dumps(metrics.summary()))
+    summary = metrics.summary()
+    if args._multihost:
+        summary["multihost"] = args._multihost
+    print(json.dumps(summary))
     return 0
 
 
@@ -521,6 +557,8 @@ def cmd_bench(args) -> int:
         "realtime_factor": round(sps / plan.fs, 1),
         "cost_model": plan_cost_model(plan, rx.block),
     }
+    if args._multihost:
+        out["multihost"] = args._multihost
     print(json.dumps(out))
     return 0
 
@@ -542,7 +580,25 @@ def build_parser() -> argparse.ArgumentParser:
             default=None,
             metavar="TxC",
             help="run sharded over a (time x chan) device mesh, e.g. 4x2 "
-            "(needs T*C devices on the selected backend)",
+            "(needs T*C devices on the selected backend; with "
+            "--coordinator, T*C LOCAL devices per host)",
+        )
+        sp.add_argument(
+            "--coordinator",
+            default=None,
+            metavar="HOST:PORT",
+            help="multi-host mode: jax.distributed coordinator address; "
+            "each process runs the main-VFO groups assigned to it "
+            "(whole groups per host — halos ride ICI, DCN carries no "
+            "samples) and owns its own ZMQ egress",
+        )
+        sp.add_argument(
+            "--num-processes", type=int, default=None,
+            help="total process count for --coordinator (else from env)",
+        )
+        sp.add_argument(
+            "--process-id", type=int, default=None,
+            help="this process's id for --coordinator (else from env)",
         )
         if iq_required:
             sp.add_argument("--iq", required=True, help="IQ recording path")

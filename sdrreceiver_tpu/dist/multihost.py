@@ -29,6 +29,7 @@ from ..obs.metrics import plan_cost_model
 
 __all__ = [
     "initialize",
+    "distributed_subplan",
     "group_costs",
     "assign_groups",
     "host_subplan",
@@ -54,6 +55,44 @@ def initialize(
             process_id=process_id,
         )
     return jax.process_index(), jax.process_count()
+
+
+def distributed_subplan(
+    plan: ReceiverPlan,
+    coordinator_address: str,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> tuple[ReceiverPlan, dict]:
+    """Full multi-host bring-up for one process: join the coordination
+    service, then restrict the plan to this process's groups.
+
+    Every process computes the SAME deterministic assignment (greedy
+    largest-first over the cost model), so no control traffic beyond the
+    jax.distributed handshake is needed.  Each host then runs its sub-plan
+    on its local devices and owns its own ZMQ egress — the only cross-host
+    data plane the reference has either (zmqpublisher.cpp:82-96); DCN
+    carries nothing per-sample, which is what makes N-host scaling
+    ~linear (see docs/SCALING.md for the measurement methodology).
+
+    Returns ``(subplan, info)``; ``info`` reports the assignment and this
+    host's topics for logs/summaries.  A host whose subplan is empty (more
+    hosts than groups) gets an empty plan and should idle.
+    """
+    pid, n = initialize(coordinator_address, num_processes, process_id)
+    assign = assign_groups(plan, n)
+    sub = host_subplan(plan, assign, pid)
+    info = {
+        "process_id": pid,
+        "num_processes": n,
+        "coordinator": coordinator_address,
+        "assignment": {int(k): int(v) for k, v in assign.items()},
+        "local_groups": [g.index for g in sub.groups],
+        "local_topics": [
+            s.topic for g in sub.groups for b in g.buckets for s in b.subs
+        ],
+        "balance_efficiency": assignment_report(plan, n)["balance_efficiency"],
+    }
+    return sub, info
 
 
 def group_costs(plan: ReceiverPlan) -> dict[int, float]:
