@@ -100,26 +100,38 @@ class BucketPlan:
     def late_taps(self) -> np.ndarray | None:
         if self.late_factor == 1:
             return None
-        return polyphase.late_decim_taps(self.out_rate, self.late_factor)
+        # Leading zero tap: the reference's plain FIR reads the N samples
+        # EXCLUDING the one just written (FIRUpdateAndProcess walks an
+        # (N+1)-slot ring starting after the write, jonti/dsp.cpp:59-71), so
+        # fir_decI/Q carry one extra sample of delay; conv with [0, c...]
+        # reproduces it exactly (pinned vs the compiled reference in
+        # tests/test_oracle.py).
+        t = polyphase.late_decim_taps(self.out_rate, self.late_factor)
+        return np.concatenate([[np.float32(0.0)], t])
 
     def audio_taps(self) -> np.ndarray | None:
         """Padded per-channel audio low-pass bank ``[C, maxN]``; None when no
         channel filters.  Design per vfo.cpp:106-124:
-        low_pass(2, out_rate, bw, bw/4, HAMMING); delta row = passthrough."""
+        low_pass(2, out_rate, bw, bw/4, HAMMING); delta row = passthrough.
+
+        Filter rows get a leading zero tap — fir_usb is the reference's
+        plain FIR, which delays by one extra sample (jonti/dsp.cpp:59-71;
+        see late_taps).  Delta (no-filter) rows stay a bare delta: the
+        reference skips fir_usb entirely for them (vfo.cpp:318-326), so
+        they carry NO extra delay."""
         if all(s.filter_bandwidth <= 0 for s in self.subs):
             return None
         rows = []
         for s in self.subs:
             if s.filter_bandwidth > 0:
-                rows.append(
-                    design.low_pass(
-                        2.0,
-                        float(self.out_rate),
-                        float(s.filter_bandwidth),
-                        s.filter_bandwidth / 4.0,
-                        design.Window.HAMMING,
-                    )
+                t = design.low_pass(
+                    2.0,
+                    float(self.out_rate),
+                    float(s.filter_bandwidth),
+                    s.filter_bandwidth / 4.0,
+                    design.Window.HAMMING,
                 )
+                rows.append(np.concatenate([[np.float32(0.0)], t]))
             else:
                 rows.append(np.array([1.0], dtype=np.float32))
         maxn = max(len(r) for r in rows)

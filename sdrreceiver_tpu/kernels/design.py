@@ -151,9 +151,15 @@ def low_pass(
     taps = (taps * w).astype(np.float32)
 
     # Normalize DC gain to `gain` (reference: firfilter.cpp:93-103 sums center
-    # tap + 2x one side, i.e. the full symmetric sum).
-    fmax = float(taps[m]) + 2.0 * float(np.sum(taps[m + 1 :], dtype=np.float64))
-    return (taps * np.float32(gain / fmax)).astype(np.float32)
+    # tap + 2x one side, i.e. the full symmetric sum).  BIT-EXACT with the
+    # compiled reference (tests/test_oracle.py): the sum must be a SEQUENTIAL
+    # double accumulation over the float32 taps (numpy's pairwise sum rounds
+    # differently for >128 taps), and the scale must stay in double until the
+    # final per-tap rounding (firfilter.cpp:100-104 multiplies float*double).
+    fmax = float(taps[m])
+    for v in taps[m + 1 :]:
+        fmax += 2.0 * float(v)
+    return (taps.astype(np.float64) * (gain / fmax)).astype(np.float32)
 
 
 #: The reference's USB chain constants (vfo.cpp:136-137): a 125-tap Hilbert

@@ -87,8 +87,12 @@ def halfband_cascade(x, stages):
 
 
 def late_decimate(x, out_rate, factor):
+    """The reference's plain FIR (fir_decI/Q) delays by ONE EXTRA sample —
+    FIRUpdateAndProcess reads the N inputs before the current one
+    (jonti/dsp.cpp:59-71) — modeled by the leading zero tap (verified
+    against the compiled reference in tests/test_oracle.py)."""
     taps = lp_taps(2.0, out_rate * factor, out_rate / 2.0, out_rate / (factor - 1.0))
-    return causal(x, taps)[::factor]
+    return causal(x, np.concatenate([[0.0], taps]))[::factor]
 
 
 def usb_demod(x, filter_bw=0, out_rate=None):
@@ -96,7 +100,11 @@ def usb_demod(x, filter_bw=0, out_rate=None):
     delayed = np.concatenate([np.zeros(62), x.real])[: len(x)]
     usb = delayed - causal(x.imag, h)
     if filter_bw > 0:
-        usb = causal(usb, lp_taps(2.0, out_rate, filter_bw, filter_bw / 4.0))
+        # fir_usb is the same plain FIR: one extra sample of delay
+        usb = causal(
+            usb,
+            np.concatenate([[0.0], lp_taps(2.0, out_rate, filter_bw, filter_bw / 4.0)]),
+        )
     return usb
 
 

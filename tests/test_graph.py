@@ -94,8 +94,14 @@ class TestPlan25E:
         g0 = plan.groups[0]
         bucket600 = next(b for b in g0.buckets if b.out_rate == 12000)
         bank = bucket600.audio_taps()
-        # VFO01 has a 4 kHz filter at 12 kHz -> 29 taps; others are deltas
-        assert bank.shape == (11, 29)
+        # VFO01 has a 4 kHz filter at 12 kHz -> 29 taps + the leading zero
+        # modeling the reference FIR's extra one-sample delay
+        # (jonti/dsp.cpp:59-71, pinned in tests/test_oracle.py); deltas stay
+        # bare (the reference skips fir_usb for them -> no delay)
+        assert bank.shape == (11, 30)
+        filt = [i for i, s in enumerate(bucket600.subs) if s.filter_bandwidth > 0]
+        for i in filt:
+            assert bank[i, 0] == 0.0 and bank[i, 1] != 0.0
         deltas = [i for i, s in enumerate(bucket600.subs) if s.filter_bandwidth == 0]
         for i in deltas:
             assert bank[i, 0] == 1.0 and np.all(bank[i, 1:] == 0)
@@ -117,7 +123,10 @@ class TestPlanOtherRates:
         for g in plan.groups:
             for b in g.buckets:
                 if b.late_factor == 5:
-                    assert len(b.late_taps()) == 49
+                    # 49 designed taps + leading zero (reference FIR's extra delay,
+                    # jonti/dsp.cpp:59-71)
+                    assert len(b.late_taps()) == 50
+                    assert b.late_taps()[0] == 0.0
 
     def test_288k(self):
         plan = planmod.build_plan(cfgmod.load_ini(f"{REF_INI}/sdr_54W_288K.ini"))
@@ -129,7 +138,9 @@ class TestPlanOtherRates:
         (b,) = g0.buckets
         # 288000/48000 = 6 -> /6 late, 0 halfband stages
         assert (b.stages, b.late_factor, b.out_rate) == (0, 6, 48000)
-        assert len(b.late_taps()) == 73
+        # 73 designed taps + leading zero (reference FIR's extra delay)
+        assert len(b.late_taps()) == 74
+        assert b.late_taps()[0] == 0.0
         assert plan.block_samples % plan.block_divisor() == 0
 
     def test_cband(self):

@@ -239,7 +239,8 @@ size=1
 """
         plan = build_plan(parse_ini_text(ini))
         # 3 kHz bw at 48 kHz -> 155 taps: above the 128-tap OSS threshold
-        assert plan.groups[0].buckets[0].audio_taps().shape[1] == 155
+        # 155 designed taps + the leading zero-delay tap
+        assert plan.groups[0].buckets[0].audio_taps().shape[1] == 156
         block = 49152
         x = (rng.standard_normal(2 * block).astype(np.float32)).view(np.complex64)
         rx_direct = CompiledReceiver(plan, block, ossfft_min_taps=None)
