@@ -48,6 +48,10 @@ def _build(args, block=None, taps=()):
 
     cfg = load_ini(args.settings)
     plan = build_plan(cfg)
+    full_topics = {
+        s.topic for g in plan.groups for b in g.buckets for s in b.subs
+    } | {"main"} | {f"g{g.index}" for g in plan.groups}
+    args._full_taps = full_topics
     args._multihost = None
     local_devices = None
     if getattr(args, "coordinator", None):
@@ -81,6 +85,23 @@ def _build(args, block=None, taps=()):
                 for s in b.subs
             )
         )
+    elif taps and args._multihost:
+        # a fleet launched with one shared command line may name a tap owned
+        # by another host; dropping it here (with a note) keeps every
+        # process alive instead of killing the fleet over a globally-valid
+        # name — only taps unknown to the FULL plan still fail loudly
+        local = {"main"} | {f"g{g.index}" for g in plan.groups} | {
+            s.topic for g in plan.groups for b in g.buckets for s in b.subs
+        }
+        dropped = [t for t in taps if t not in local and t in full_topics]
+        if dropped:
+            print(
+                f"process {args._multihost['process_id']}: taps "
+                f"{dropped} belong to other hosts' groups; dropping "
+                f"locally",
+                file=sys.stderr,
+            )
+            taps = tuple(t for t in taps if t not in dropped)
     if mesh_arg:
         from ..dist import ShardedReceiver, make_mesh
 
@@ -189,6 +210,9 @@ def cmd_process_file(args) -> int:
 
     taps = (args.spectrum,) if args.spectrum else ()
     cfg, plan, rx = _build(args, args.block, taps=taps)
+    if args.spectrum and args.spectrum not in rx.tap_rates():
+        # dropped by _build (owned by another host in multihost mode)
+        args.spectrum = None
     iq = iqfile.read_iq(args.iq, args.format)
     outdir = pathlib.Path(args.out) if args.out else None
     if outdir:
@@ -306,10 +330,24 @@ def cmd_run(args) -> int:
     if args.scope is not None:
         from ..obs.spectrum import LiveScope
 
-        scope = LiveScope(rx.tap_rates(), initial=args.scope)
+        initial = args.scope
+        if (
+            args._multihost
+            and initial not in rx.tap_rates()
+            and initial in args._full_taps
+        ):
+            # globally valid but owned by another host: fall back instead
+            # of taking this process (and the fleet) down
+            print(
+                f"process {args._multihost['process_id']}: scope tap "
+                f"{initial!r} belongs to another host; starting on 'main'",
+                file=sys.stderr,
+            )
+            initial = "main"
+        scope = LiveScope(rx.tap_rates(), initial=initial)
         if scope.active is None:
             print(
-                f"unknown scope tap {args.scope!r}; valid: "
+                f"unknown scope tap {initial!r}; valid: "
                 f"{sorted(rx.tap_rates())}",
                 file=sys.stderr,
             )

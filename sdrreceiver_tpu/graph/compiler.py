@@ -78,8 +78,8 @@ class CompiledReceiver:
         the kiss_fastfir capability) instead of direct convolution; None
         disables.
 
-        ``tap_samples``: emitted taps are truncated to this many samples in
-        the compiled step (None = full block).  The scope consumes exactly
+        ``tap_samples``: emitted taps carry only the LAST this-many samples
+        of the block (None = full block).  The scope consumes exactly
         one 8192-point FFT frame per update (mainwindow.cpp:427), so
         fetching a whole 1.5 Msample main tap over a remote-TPU link would
         move ~190x more data than used; the default matches the scope's
@@ -228,12 +228,14 @@ class CompiledReceiver:
 
     # ------------------------------------------------------------------ step
     def _tap(self, z: jax.Array) -> jax.Array:
-        """Planar [2, T'] tap of a complex [T] signal, truncated to
-        ``tap_samples`` (taps are emitted planar — remote TPU backends
-        cannot device->host copy complex arrays)."""
+        """Planar [2, T'] tap of a complex [T] signal, truncated to the LAST
+        ``tap_samples`` — the scope shows the block's most recent window,
+        like the reference FFT-ing the freshest buffer it is handed
+        (mainwindow.cpp:418-427).  Taps are emitted planar: remote TPU
+        backends cannot device->host copy complex arrays."""
         lim = self.tap_samples
         if lim is not None and z.shape[-1] > lim:
-            z = z[..., :lim]
+            z = z[..., -lim:]
         return jnp.stack([z.real, z.imag])
 
     def _step_u8(self, state: dict, raw: jax.Array):
@@ -385,20 +387,32 @@ class CompiledReceiver:
         r: dict[str, int] = {"main": self.plan.fs}
         for g in self.plan.groups:
             r[f"g{g.index}"] = g.out_rate
+        seen_topics: set[str] = set()
         for g in self.plan.groups:
             for b in g.buckets:
                 for s in b.subs:
+                    if s.topic in seen_topics:
+                        # two channels with one topic: their audio/<topic>
+                        # dict outputs would silently shadow each other (the
+                        # reference interleaves both channels' ZMQ frames on
+                        # that topic — a dict-keyed step cannot express that)
+                        raise ValueError(
+                            f"duplicate sub-VFO topic {s.topic!r}: each "
+                            f"channel needs a unique topic — its "
+                            f"audio/{s.topic} output (and scope tap) would "
+                            f"shadow the other channel's"
+                        )
                     if s.topic in r:
-                        # a topic literally named "main"/"g<i>" (or repeated)
-                        # would silently shadow another tap's rate AND its
-                        # tap/<name> output key — the scope would show the
-                        # wrong signal with no way to detect it
+                        # a topic literally named "main"/"g<i>" would shadow
+                        # a built-in tap's rate AND its tap/<name> output key
+                        # — the scope would show the wrong signal silently
                         raise ValueError(
                             f"scope tap name collision: sub-VFO topic "
-                            f"{s.topic!r} clashes with an existing tap "
-                            f"(built-ins: 'main', 'g<i>'; topics must be "
-                            f"unique)"
+                            f"{s.topic!r} clashes with the built-in "
+                            f"{s.topic!r} tap (reserved names: 'main', "
+                            f"'g<i>')"
                         )
+                    seen_topics.add(s.topic)
                     r[s.topic] = b.out_rate * b.late_factor
         return r
 

@@ -104,8 +104,8 @@ class BucketPlan:
         # EXCLUDING the one just written (FIRUpdateAndProcess walks an
         # (N+1)-slot ring starting after the write, jonti/dsp.cpp:59-71), so
         # fir_decI/Q carry one extra sample of delay; conv with [0, c...]
-        # reproduces it exactly (pinned vs the compiled reference in
-        # tests/test_oracle.py).
+        # reproduces it exactly — pinned against the compiled reference's /5
+        # and /6 chains in tests/test_oracle.py::TestChainOracleAltRates.
         t = polyphase.late_decim_taps(self.out_rate, self.late_factor)
         return np.concatenate([[np.float32(0.0)], t])
 

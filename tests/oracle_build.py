@@ -15,6 +15,7 @@ semantics and make bit-level tap comparisons meaningless).
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import pathlib
 import subprocess
 
@@ -37,12 +38,28 @@ _F32P = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
 _I16P = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
 
 
+def _source_digest() -> str:
+    """Content hash of every input to the oracle build (mtime comparisons
+    are unreliable after a fresh checkout: git sets worktree mtimes to
+    checkout time, so a stale prebuilt .so could win the race)."""
+    h = hashlib.sha256()
+    deps = REF_SOURCES + [WRAPPER] + sorted((ORACLE_DIR / "shim").iterdir())
+    for d in deps:
+        h.update(str(d).encode())
+        h.update(d.read_bytes())
+    return h.hexdigest()
+
+
 def build_oracle() -> pathlib.Path:
-    """Compile (if stale) and return the oracle .so path."""
+    """Compile (if the source digest changed) and return the oracle .so path.
+
+    The build directory is gitignored — the .so is never committed; the
+    digest stamp next to it makes staleness purely content-based."""
     BUILD_DIR.mkdir(parents=True, exist_ok=True)
     so = BUILD_DIR / "liboracle.so"
-    deps = REF_SOURCES + [WRAPPER] + sorted((ORACLE_DIR / "shim").iterdir())
-    if so.exists() and so.stat().st_mtime > max(d.stat().st_mtime for d in deps):
+    stamp = BUILD_DIR / "liboracle.digest"
+    digest = _source_digest()
+    if so.exists() and stamp.exists() and stamp.read_text() == digest:
         return so
     cmd = [
         "g++", "-O2", "-fPIC", "-shared", "-std=c++17",
@@ -53,6 +70,7 @@ def build_oracle() -> pathlib.Path:
         "-o", str(so),
     ]
     subprocess.run(cmd, check=True, capture_output=True, text=True)
+    stamp.write_text(digest)
     return so
 
 

@@ -122,11 +122,13 @@ class TestSpectrum:
         rx = CompiledReceiver(plan, BLOCK, emit_taps=("main",), tap_samples=None)
         _, o = rx.step_iq(rx.init_state(), jnp.asarray(iq[:BLOCK]))
         assert o["tap/main"].shape == (2, BLOCK)
-        # truncated tap == prefix of the full tap
+        # truncated tap == the LAST 8192 samples of the block: the scope
+        # shows the freshest window, like the reference FFT-ing the most
+        # recent buffer it is handed (mainwindow.cpp:418-427)
         rx2 = CompiledReceiver(plan, BLOCK, emit_taps=("main",))
         _, o2 = rx2.step_iq(rx2.init_state(), jnp.asarray(iq[:BLOCK]))
         np.testing.assert_array_equal(
-            np.asarray(o["tap/main"])[:, :8192], np.asarray(o2["tap/main"])
+            np.asarray(o["tap/main"])[:, -8192:], np.asarray(o2["tap/main"])
         )
 
     def test_tap_topic_collision_rejected(self):
@@ -135,6 +137,18 @@ class TestSpectrum:
         bad = INI.replace("1\\topic=VFO01", "1\\topic=g0")
         plan = build_plan(parse_ini_text(bad))
         with pytest.raises(ValueError, match="collision"):
+            CompiledReceiver(plan, BLOCK)
+
+    def test_duplicate_topic_rejected_with_audio_message(self):
+        # two channels on one topic: the reference interleaves both channels'
+        # ZMQ frames (valid there); our dict-keyed audio/<topic> outputs
+        # cannot express that, so the failure message must name the audio
+        # output shadowing — not just the scope tap namespace (ADVICE r2)
+        bad = INI.replace("size=1\n1\\frequency=1545005146", (
+            "size=2\n1\\frequency=1545005146"
+        )) + "2\\frequency=1545012000\n2\\gain=5\n2\\data_rate=600\n2\\topic=VFO01\n"
+        plan = build_plan(parse_ini_text(bad))
+        with pytest.raises(ValueError, match="duplicate sub-VFO topic.*audio/VFO01"):
             CompiledReceiver(plan, BLOCK)
 
     def test_invalid_tap_rejected(self, plan):

@@ -33,7 +33,15 @@ import jax.numpy as jnp
 from oracle_build import Oracle
 from sdrreceiver_tpu.graph import build_plan, parse_ini_text
 from sdrreceiver_tpu.graph.compiler import CompiledReceiver
-from sdrreceiver_tpu.kernels import design, fir, halfband, nco, usbdemod
+from sdrreceiver_tpu.kernels import (
+    dc,
+    design,
+    fir,
+    halfband,
+    nco,
+    polyphase,
+    usbdemod,
+)
 
 
 @pytest.fixture(scope="module")
@@ -349,3 +357,179 @@ size=1
         snr_ideal_ref = _snr_db(idl, idl - ref[2000:].astype(np.float64))
         assert snr_ideal_ours > 60.0
         assert snr_ideal_ref < 10.0
+
+
+class TestChainOracleAltRates:
+    """The ÷5/÷6 late chain and the DC EMA vs the COMPILED reference
+    (VERDICT r2 item 4): usb_decimdemod's `check`-phase streaming carry
+    (vfo.cpp:351-383) and the plain-FIR one-extra-sample delay of
+    fir_decI/Q and fir_usb (jonti/dsp.cpp:59-71, the leading zero tap in
+    BucketPlan.late_taps/audio_taps) are pinned here by reference code —
+    not by the builder's refchain.py model.  Mixers at 0 Hz with the
+    oracle oscillators' sqrt(0.95) amplitude folded into the gain (see
+    TestChainOracle.test_zero_mixer_chain_parity for why live mixers
+    cannot be compared sample-wise)."""
+
+    def _ours_chain(
+        self,
+        x,
+        block,
+        main_stages,
+        sub_stages,
+        late,
+        out_rate,
+        filter_bw,
+        gain,
+        dc_correct=False,
+    ):
+        """The framework's bucket pipeline from the same shared kernels the
+        compiler composes (graph/compiler.py:_bucket_step), chunked as
+        deployed; oracle runs whole-signal (its carry is 1 sample stale)."""
+        hb = fir.prepare_taps(design.half_band(11), 1)
+        hilb = fir.prepare_taps(design.hilbert(), 1)
+        ch = halfband.cascade_init(1, main_stages)
+        cs = halfband.cascade_init(1, sub_stages)
+        us = usbdemod.usb_init(1)
+        lt = ah = None
+        lh = ahh = None
+        if late > 1:
+            # leading zero tap = plain FIR extra delay, as late_taps() builds
+            lt = fir.prepare_taps(
+                np.concatenate(
+                    [[np.float32(0.0)], polyphase.late_decim_taps(out_rate, late)]
+                ),
+                1,
+            )
+            lh = jnp.zeros((1, lt.shape[1] - 1), jnp.complex64)
+        if filter_bw > 0:
+            at = design.low_pass(
+                2.0, float(out_rate), float(filter_bw), filter_bw / 4.0,
+                design.Window.HAMMING,
+            )
+            ah = fir.prepare_taps(np.concatenate([[np.float32(0.0)], at]), 1)
+            ahh = jnp.zeros((1, ah.shape[1] - 1), jnp.float32)
+        dcm = dc.dc_init()
+        g = jnp.asarray([gain], jnp.float32)
+        outs = []
+        for i in range(0, len(x), block):
+            b = jnp.asarray(x[i : i + block])
+            if dc_correct:
+                dcm, b = dc.dc_block(dcm, b)
+            chh, y = halfband.cascade_apply(ch, b[None, :], hb)
+            ch = chh
+            cs, y = halfband.cascade_apply(cs, y, hb)
+            if late > 1:
+                lh, y = fir.conv_block(lh, y, lt, late)
+            us, audio = usbdemod.usb_block(us, y, hilb)
+            if filter_bw > 0:
+                ahh, audio = fir.conv_block(ahh, audio, ah)
+            outs.append(np.asarray(usbdemod.quantize_i16(audio, g)[0]))
+        return np.concatenate(outs)
+
+    def test_late5_chain_parity(self, oracle, rng):
+        """1.92M-class /5 chain: 3 main stages -> 240k, 2 sub stages -> 60k,
+        /5 -> 12k audio with a 4 kHz LPF — the usb_decimdemod path
+        (vfo.cpp:334-387) including its phase-skipping FIRUpdate carries."""
+        fs, block = 1920000, 96000
+        t = np.arange(8 * block)
+        x = (
+            0.3 * np.exp(2j * np.pi * 1000 * t / fs)
+            + 0.02 * (rng.standard_normal(len(t)) + 1j * rng.standard_normal(len(t)))
+        ).astype(np.complex64)
+        a_main = float(np.abs(oracle.oscillator(fs, 0.0, 4000))[-1])
+        a_sub = float(np.abs(oracle.oscillator(fs / 8, 0.0, 4000))[-1])
+        gain = 0.4
+        ref = oracle.chain(
+            [x], fs,
+            main_mixer_freq=0.0, main_stages=3,
+            sub_mixer_freq=0.0, sub_stages=2,
+            late_factor=5, filter_bw=4000.0, gain=gain,
+        )
+        ours = self._ours_chain(
+            x, block, 3, 2, 5, 12000, 4000.0, gain * a_main * a_sub
+        )
+        assert ours.shape == ref.shape
+        r, o = ref[600:].astype(np.float64), ours[600:].astype(np.float64)
+        d = np.abs(r - o)
+        assert d.max() <= 2.0  # truncating vs rounding quantizer: <=1 LSB + noise
+        assert _snr_db(r, r - o) > 60.0
+
+    def test_reference_wavetable_replays_transient_each_second(self, oracle):
+        """Pinned reference artifact: the Oscillator wavetable is ONE second
+        long and its construction loop bakes the 1.0 -> sqrt(0.95) amplitude
+        convergence transient into entries 0..~300 (oscillator.cpp:13-27), so
+        every time tick() wraps (oscillator.cpp:42-46) the amplitude ringing
+        REPLAYS into the mix — a once-per-second glitch in every reference
+        channel.  (Our NCO has no table and no transient.)  This is why the
+        /6 chain-parity test below keeps its input under one second."""
+        fs = 288000
+        z = oracle.oscillator(fs, 0.0, 2 * fs)
+        mag = np.abs(z)
+        np.testing.assert_allclose(mag[1000:fs], np.sqrt(0.95), atol=1e-4)
+        assert mag[fs : fs + 300].max() > 0.99  # the replayed transient
+        assert mag[fs : fs + 300].min() < 0.9505
+
+    def test_late6_chain_parity(self, oracle, rng):
+        """288k-class /6 chain: zero half-band stages, pure /6 polyphase
+        (mainwindow.cpp:204-210), no audio LPF — isolates the late FIR's
+        check-phase carry and its one-sample delay.  Input kept under 1 s:
+        past that the reference's wavetable wrap replays its amplitude
+        transient (test above) and sample-wise comparison breaks down."""
+        fs, block = 288000, 57600
+        t = np.arange(4 * block)
+        x = (
+            0.3 * np.exp(2j * np.pi * 1500 * t / fs)
+            + 0.02 * (rng.standard_normal(len(t)) + 1j * rng.standard_normal(len(t)))
+        ).astype(np.complex64)
+        a_main = float(np.abs(oracle.oscillator(fs, 0.0, 4000))[-1])
+        a_sub = float(np.abs(oracle.oscillator(fs, 0.0, 4000))[-1])
+        gain = 0.4
+        ref = oracle.chain(
+            [x], fs,
+            main_mixer_freq=0.0, main_stages=0,
+            sub_mixer_freq=0.0, sub_stages=0,
+            late_factor=6, filter_bw=0.0, gain=gain,
+        )
+        ours = self._ours_chain(x, block, 0, 0, 6, 48000, 0.0, gain * a_main * a_sub)
+        assert ours.shape == ref.shape
+        r, o = ref[600:].astype(np.float64), ours[600:].astype(np.float64)
+        d = np.abs(r - o)
+        assert d.max() <= 2.0
+        assert _snr_db(r, r - o) > 60.0
+
+    def test_dc_ema_parity(self, oracle, rng):
+        """The sdrj DC EMA (sdrj.cpp:277-283) vs our closed-form cumsum
+        evaluation (kernels/dc.py): same recurrence, chunked, with a real
+        DC offset riding on the signal."""
+        fs, block = 1536000, 96000
+        t = np.arange(8 * block)
+        x = (
+            (0.12 - 0.07j)  # DC bias the EMA must learn and remove
+            + 0.3 * np.exp(2j * np.pi * 1000 * t / fs)
+            + 0.02 * (rng.standard_normal(len(t)) + 1j * rng.standard_normal(len(t)))
+        ).astype(np.complex64)
+        a_main = float(np.abs(oracle.oscillator(fs, 0.0, 4000))[-1])
+        a_sub = float(np.abs(oracle.oscillator(fs / 4, 0.0, 4000))[-1])
+        gain = 0.4
+        ref = oracle.chain(
+            [x], fs,
+            main_mixer_freq=0.0, main_stages=2,
+            sub_mixer_freq=0.0, sub_stages=5,
+            late_factor=1, filter_bw=4000.0, gain=gain, dc_correct=True,
+        )
+        ours = self._ours_chain(
+            x, block, 2, 5, 1, 12000, 4000.0, gain * a_main * a_sub,
+            dc_correct=True,
+        )
+        assert ours.shape == ref.shape
+        r, o = ref[600:].astype(np.float64), ours[600:].astype(np.float64)
+        d = np.abs(r - o)
+        # The reference's float32 EMA amplifies its per-step rounding by
+        # 1/alpha = 1e6 (error recursion e' = a*e + rho with rho ~ eps*|DC|
+        # gives steady state rho/(1-a) up to ~7e-3 of the bias), so 1-LSB
+        # agreement with the compiled f32 recurrence is unattainable by the
+        # reference's own arithmetic; the bound below still pins alpha, the
+        # correct/subtract ordering and the streaming carry (measured:
+        # max ~10 LSB, 69 dB).
+        assert d.max() <= 16.0
+        assert _snr_db(r, r - o) > 60.0
