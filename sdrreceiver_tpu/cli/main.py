@@ -238,7 +238,7 @@ def cmd_process_file(args) -> int:
 
     state = None
     if args.resume:
-        state = checkpoint.load_state(args.resume, rx.init_state(), plan)
+        state = rx.import_state(checkpoint.load_state(args.resume, plan))
     # feed interleaved f32 pairs (complex host->device transfer is not
     # supported on remote TPU backends)
     blocks = (
@@ -300,7 +300,7 @@ def cmd_process_file(args) -> int:
                 except Exception as e:
                     print(f"spectrum png failed: {e}", file=sys.stderr)
     if args.save_state:
-        checkpoint.save_state(args.save_state, final_state, plan)
+        checkpoint.save_state(args.save_state, rx.export_state(final_state), plan)
     if hub:
         hub.close()
 

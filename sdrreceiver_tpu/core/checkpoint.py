@@ -4,10 +4,13 @@ The reference is a stateless-restart stream processor — kill it and every FIR
 history, NCO phase and DC mean restarts from zero (SURVEY.md section 5:
 "Checkpoint / resume: none").  For a long-running service that matters: a
 restart glitches every channel for ~ntaps samples and loses phase continuity.
-Here the whole receiver state is one pytree, so checkpointing is trivial:
-flatten with stable key paths into a compressed .npz, restore onto any
-backend.  Includes the plan fingerprint so a stale checkpoint against a
-changed config is rejected loudly.
+
+Checkpoints store the CANONICAL named state (CompiledReceiver.export_state —
+the jnp-mode layout, with fused-kernel tails converted to per-stage
+histories) in a compressed .npz, so a save from any execution mode (jnp /
+Pallas / sharded) resumes into any other.  Includes the plan fingerprint so
+a stale checkpoint against a changed config is rejected loudly; the
+fingerprint deliberately does NOT encode the execution mode.
 """
 
 from __future__ import annotations
@@ -17,7 +20,6 @@ import io as _io
 import json
 import pathlib
 
-import jax
 import numpy as np
 
 __all__ = ["plan_fingerprint", "save_state", "load_state"]
@@ -51,21 +53,9 @@ def plan_fingerprint(plan) -> str:
     return hashlib.sha256(json.dumps(desc, sort_keys=True).encode()).hexdigest()[:16]
 
 
-def _key(path) -> str:
-    parts = []
-    for p in path:
-        if hasattr(p, "key"):
-            parts.append(str(p.key))
-        elif hasattr(p, "idx"):
-            parts.append(str(p.idx))
-        else:
-            parts.append(str(p))
-    return "/".join(parts)
-
-
-def save_state(path: str | pathlib.Path, state, plan) -> None:
-    flat, _ = jax.tree_util.tree_flatten_with_path(state)
-    arrays = {_key(p): np.asarray(v) for p, v in flat}
+def save_state(path: str | pathlib.Path, named: dict, plan) -> None:
+    """Write canonical named state leaves (from ``rx.export_state(vec)``)."""
+    arrays = {k: np.asarray(v) for k, v in named.items()}
     arrays["__fingerprint__"] = np.frombuffer(
         plan_fingerprint(plan).encode(), dtype=np.uint8
     )
@@ -74,8 +64,11 @@ def save_state(path: str | pathlib.Path, state, plan) -> None:
     pathlib.Path(path).write_bytes(buf.getvalue())
 
 
-def load_state(path: str | pathlib.Path, template_state, plan):
-    """Restore a checkpoint into the structure of ``template_state``."""
+def load_state(path: str | pathlib.Path, plan) -> dict:
+    """Read canonical named state leaves (feed to ``rx.import_state``).
+
+    Verifies the plan fingerprint; shape/key validation against the target
+    execution mode happens in import_state, which knows that mode's spec."""
     with np.load(pathlib.Path(path), allow_pickle=False) as z:
         fp = bytes(z["__fingerprint__"]).decode()
         if fp != plan_fingerprint(plan):
@@ -83,19 +76,4 @@ def load_state(path: str | pathlib.Path, template_state, plan):
                 f"checkpoint fingerprint {fp} does not match the current plan "
                 f"{plan_fingerprint(plan)} — config changed since the save"
             )
-        flat, treedef = jax.tree_util.tree_flatten_with_path(template_state)
-        leaves = []
-        for p, tmpl in flat:
-            k = _key(p)
-            if k not in z:
-                raise ValueError(f"checkpoint missing state entry {k!r}")
-            arr = z[k]
-            if arr.shape != tmpl.shape or arr.dtype != np.asarray(tmpl).dtype:
-                raise ValueError(
-                    f"checkpoint entry {k!r} has {arr.shape}/{arr.dtype}, "
-                    f"expected {tmpl.shape}/{np.asarray(tmpl).dtype}"
-                )
-            leaves.append(arr)
-        return jax.tree_util.tree_unflatten(
-            jax.tree_util.tree_structure(template_state), leaves
-        )
+        return {k: z[k] for k in z.files if k != "__fingerprint__"}

@@ -82,13 +82,17 @@ def run_pipeline(
         state, outs = step(state, block)
         sent = 0
         if pending is not None and on_outputs is not None:
-            # publish the previous block's outputs while this one computes
+            # publish the previous block's outputs while this one computes;
+            # packed pcm buffers are split into audio/<topic> rows AFTER the
+            # host fetch (zero-copy numpy views)
             sent = on_outputs(
-                {
-                    k: fetch_np(v)
-                    for k, v in pending.items()
-                    if fetch_filter is None or fetch_filter(k)
-                }
+                rx.split_audio(
+                    {
+                        k: fetch_np(v)
+                        for k, v in pending.items()
+                        if fetch_filter is None or fetch_filter(k)
+                    }
+                )
             )
         pending = outs
         # record COMPUTE time before any pacing sleep — under realtime mode
@@ -115,11 +119,13 @@ def run_pipeline(
         jax.block_until_ready(pending)
         if on_outputs is not None:
             metrics.messages_sent += on_outputs(
-                {
-                    k: fetch_np(v)
-                    for k, v in pending.items()
-                    if fetch_filter is None or fetch_filter(k)
-                }
+                rx.split_audio(
+                    {
+                        k: fetch_np(v)
+                        for k, v in pending.items()
+                        if fetch_filter is None or fetch_filter(k)
+                    }
+                )
             )
     metrics.finish()
     if return_state:

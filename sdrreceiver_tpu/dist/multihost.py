@@ -25,7 +25,6 @@ import dataclasses
 import numpy as np
 
 from ..graph.plan import GroupPlan, ReceiverPlan
-from ..obs.metrics import plan_cost_model
 
 __all__ = [
     "initialize",
@@ -96,29 +95,15 @@ def distributed_subplan(
 
 
 def group_costs(plan: ReceiverPlan) -> dict[int, float]:
-    """FLOPs/block attributable to each group (front end + its buckets)."""
-    costs: dict[int, float] = {}
-    t = plan.block_samples
-    for g in plan.groups:
-        flops = 0.0
-        tg = t
-        if not g.direct:
-            flops += 8.0 * t
-            for _ in range(g.stages):
-                tg //= 2
-                flops += 44.0 * tg
-        for b in g.buckets:
-            tb = tg
-            flops += 8.0 * b.channels * tg
-            for _ in range(b.stages):
-                tb //= 2
-                flops += 44.0 * b.channels * tb
-            if b.late_factor > 1:
-                tb //= b.late_factor
-                flops += 4.0 * len(b.late_taps()) * b.channels * tb
-            flops += b.channels * tb * 260.0  # usb + audio ballpark
-        costs[g.index] = flops
-    return costs
+    """FLOPs/block attributable to each group (front end + its buckets) —
+    a per-group view of obs.metrics.group_cost_model, the single cost
+    function shared with the roofline report (one model, no drift)."""
+    from ..obs.metrics import group_cost_model
+
+    return {
+        gidx: c["flops_per_block"]
+        for gidx, c in group_cost_model(plan).items()
+    }
 
 
 def assign_groups(plan: ReceiverPlan, n_hosts: int) -> dict[int, int]:

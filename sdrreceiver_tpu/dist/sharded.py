@@ -62,6 +62,40 @@ class ShardedReceiver(CompiledReceiver):
                 f"divisor*n_time = {need}"
             )
 
+    # -- state boundary: pin everything replicated ---------------------------
+    def _vec(self, step):
+        """Packed-state wrapper with explicit replication constraints.
+
+        The packed vector concatenates shard_map outputs (replicated by
+        construction via halo collectives) with chan-sharded bucket
+        histories.  Without pinning, XLA's sharding propagation pushes a
+        chan partition back through the concat INTO the ``check_vma=False``
+        shard_map outputs, which mis-partitions the whole front (observed:
+        garbage on (time, chan) meshes with n_chan > 1).  Constraining every
+        state leaf and the packed vector to fully-replicated keeps the
+        propagation out; the forced all-gathers move only the ~100 KB
+        state."""
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        repl = NamedSharding(self.mesh, PartitionSpec())
+
+        def pin(tree):
+            return jax.tree.map(
+                lambda l: jax.lax.with_sharding_constraint(l, repl), tree
+            )
+
+        def wrapped(vec, block):
+            state = self._svec.unpack(
+                jax.lax.with_sharding_constraint(vec, repl)
+            )
+            new_state, outputs = step(state, block)
+            out_vec = jax.lax.with_sharding_constraint(
+                self._svec.pack(pin(new_state)), repl
+            )
+            return out_vec, outputs
+
+        return wrapped
+
     # -- front end under shard_map ------------------------------------------
     def _front(self, state: dict, iq: jax.Array):
         plan = self.plan

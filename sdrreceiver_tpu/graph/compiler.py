@@ -34,7 +34,7 @@ from ..kernels import (
     ossfft,
     usbdemod,
 )
-from ..utils import planar
+from ..utils import statevec
 from .plan import ReceiverPlan
 
 __all__ = ["CompiledReceiver", "compile_plan"]
@@ -44,12 +44,18 @@ class CompiledReceiver:
     """Executable form of a ReceiverPlan.
 
     Outputs of one step (all shapes static):
-      ``audio/<topic>``   int16 ``[T_audio]`` demodulated channel audio
+      ``pcm/g<i>/b<j>``   int16 ``[C*T_audio]`` one bucket's demodulated
+                          audio, channel-major packed (emitting per-channel
+                          rows from the jit costs ~90 us/step of int16
+                          layout work on TPU — rows are split on host)
       ``iq/<topic>``      uint8 ``[T_group]`` packed compressed group IQ
                           (only for main VFOs configured to publish,
                           mainwindow.cpp:109-126)
-    plus ``rates()`` giving the sample rate for each output key (the value the
-    ZMQ wire format carries, zmqpublisher.cpp:85-92).
+    :meth:`split_audio` converts a step's (host-fetched) outputs into the
+    public per-channel form ``audio/<topic>`` int16 ``[T_audio]`` as
+    zero-copy views — run_pipeline does this before every callback; ``rates()``
+    gives the sample rate for each public key (the value the ZMQ wire format
+    carries, zmqpublisher.cpp:85-92).
     """
 
     def __init__(
@@ -102,23 +108,25 @@ class CompiledReceiver:
             )
         self._consts: dict[str, Any] = {}
         self._build_consts()
-        # The public steps carry the streaming state PLANAR (utils/planar):
-        # restricted remote-TPU backends cannot take complex64 executable
-        # arguments without losing the ability to transfer ANY output, so
-        # complex state leaves are split to {re, im} f32 across the jit
-        # boundary and recombined inside (XLA fuses both away).
-        self.step_iq = jax.jit(self._planar(self._step_iq), donate_argnums=(0,))
-        self.step_u8 = jax.jit(self._planar(self._step_u8), donate_argnums=(0,))
+        # The public steps carry the streaming state as ONE packed f32
+        # vector (utils/statevec).  Two reasons: (1) restricted remote-TPU
+        # backends cannot take complex64 executable arguments without losing
+        # the ability to transfer ANY output; (2) the state pytree has ~120
+        # tiny leaves and the remote runtime charges ~2-3.5 us per boundary
+        # buffer — the pytree form costs more than the DSP itself (measured
+        # round 3; PARITY.md).  XLA fuses the pack/unpack slices away.
+        self._svec = statevec.StateVec(jax.eval_shape(self._init_state))
+        self.step_iq = jax.jit(self._vec(self._step_iq), donate_argnums=(0,))
+        self.step_u8 = jax.jit(self._vec(self._step_u8), donate_argnums=(0,))
         # interleaved-float32 entry: remote TPU backends cannot device_put
         # complex64 host arrays, so recordings are fed as raw f32 pairs and
         # packed to complex on device (sdrj.cpp:271-276 semantics)
-        self.step_f32 = jax.jit(self._planar(self._step_f32), donate_argnums=(0,))
+        self.step_f32 = jax.jit(self._vec(self._step_f32), donate_argnums=(0,))
 
-    @staticmethod
-    def _planar(step):
-        def wrapped(pstate, block):
-            new_state, outputs = step(planar.from_planar(pstate), block)
-            return planar.to_planar(new_state), outputs
+    def _vec(self, step):
+        def wrapped(vec, block):
+            new_state, outputs = step(self._svec.unpack(vec), block)
+            return self._svec.pack(new_state), outputs
 
         return wrapped
 
@@ -185,14 +193,15 @@ class CompiledReceiver:
                         self._consts[f"{bk}/audio_oss"] = ossfft.oss_prepare(at)
 
     # ----------------------------------------------------------------- state
-    def init_state(self) -> dict:
-        """Fresh streaming state, in the planar form the public steps use.
+    def init_state(self) -> jax.Array:
+        """Fresh streaming state, in the packed-vector form the public steps
+        use (opaque to callers; see :meth:`export_state` for a named view).
 
         Built under jit so the complex intermediates never materialize as
         device buffers: on restricted remote-TPU backends, materializing
         even one complex64 array breaks every later device->host transfer
         of the session (see utils/planar)."""
-        return jax.jit(lambda: planar.to_planar(self._init_state()))()
+        return jax.jit(lambda: self._svec.pack(self._init_state()))()
 
     def _init_state(self) -> dict:
         plan = self.plan
@@ -350,8 +359,11 @@ class CompiledReceiver:
                 bs["audio"], audio, self._consts[f"{bk}/audio"]
             )
         pcm = usbdemod.quantize_i16(audio, self._consts[f"{bk}/gains"])
-        for ci, s in enumerate(b.subs):
-            outputs[f"audio/{s.topic}"] = pcm[ci]
+        # ONE flat int16 output per bucket: emitting 27 row-sliced (or 2-D)
+        # int16 outputs costs ~90 us/step of pure layout work on TPU
+        # (measured round 3, PARITY.md); the flat [C*Ta] form is free and
+        # split_audio() recovers per-topic rows as zero-copy host views
+        outputs[f"pcm/{bk}"] = pcm.reshape(-1)
         return nbs
 
     def _step_iq(self, state: dict, iq: jax.Array):
@@ -378,6 +390,81 @@ class CompiledReceiver:
                     g, bi, gs[f"b{bi}"], z, outputs
                 )
         return new_state, outputs
+
+    # ---------------------------------------------------- state portability
+    _HB_HIST = 10  # half-band taps - 1; pallas tails carry them in slots 6..15
+
+    def export_state(self, vec) -> dict:
+        """Packed state vector -> named host leaves in the CANONICAL layout
+        (the jnp-mode layout): Pallas ``cascade_p`` tails ``[d, C, 2, 16]``
+        become per-stage complex histories ``cascade/<s>`` ``[C, 10]``, so a
+        checkpoint taken in any execution mode loads into any other
+        (jnp / Pallas / sharded) — the slot-6..15 tails ARE the last-10-
+        input-samples history, in the same time order (pallas/frontend.py)."""
+        named = self._svec.export_named(vec)
+        out: dict[str, np.ndarray] = {}
+        for k, v in named.items():
+            if k.endswith("cascade_p"):
+                base = k[: -len("cascade_p")] + "cascade"
+                for s in range(v.shape[0]):
+                    out[f"{base}/{s}"] = (
+                        v[s, :, 0, 6 : 6 + self._HB_HIST]
+                        + 1j * v[s, :, 1, 6 : 6 + self._HB_HIST]
+                    ).astype(np.complex64)
+            else:
+                out[k] = v
+        return out
+
+    def import_state(self, named: dict) -> jax.Array:
+        """Named canonical leaves -> packed state vector on device.
+
+        The inverse of :meth:`export_state` for THIS receiver's execution
+        mode; fails with the offending path on any mismatch."""
+        conv = dict(named)
+        for key, shape, dtype, off, store in self._svec.spec:
+            if not key.endswith("cascade_p"):
+                continue
+            base = key[: -len("cascade_p")] + "cascade"
+            d, c = shape[0], shape[1]
+            tails = np.zeros(shape, np.float32)
+            for s in range(d):
+                ck = f"{base}/{s}"
+                if ck not in conv:
+                    raise KeyError(
+                        f"checkpoint missing state entry {ck!r} (needed to "
+                        f"rebuild the fused-kernel tails {key!r})"
+                    )
+                h = np.asarray(conv.pop(ck))
+                if h.shape != (c, self._HB_HIST):
+                    raise ValueError(
+                        f"checkpoint entry {ck!r} has shape {h.shape}, "
+                        f"expected {(c, self._HB_HIST)}"
+                    )
+                tails[s, :, 0, 6 : 6 + self._HB_HIST] = h.real
+                tails[s, :, 1, 6 : 6 + self._HB_HIST] = h.imag
+            conv[key] = tails
+        return jax.device_put(self._svec.import_named(conv))
+
+    # -------------------------------------------------------------- outputs
+    def split_audio(self, outputs: dict) -> dict:
+        """Expand packed ``pcm/g<i>/b<j>`` buffers into per-channel
+        ``audio/<topic>`` rows (zero-copy slices on host numpy arrays).
+
+        Accepts the raw output dict of one step — host-fetched (numpy) or
+        still on device — and returns the public output dict; non-pcm keys
+        (taps, iq) pass through untouched.  Keys absent from ``outputs``
+        (e.g. dropped by a fetch filter) are skipped."""
+        out = {k: v for k, v in outputs.items() if not k.startswith("pcm/")}
+        for g in self.plan.groups:
+            tg = self.block >> g.stages
+            for bi, b in enumerate(g.buckets):
+                flat = outputs.get(f"pcm/g{g.index}/b{bi}")
+                if flat is None:
+                    continue
+                ta = (tg >> b.stages) // b.late_factor
+                for ci, s in enumerate(b.subs):
+                    out[f"audio/{s.topic}"] = flat[ci * ta : (ci + 1) * ta]
+        return out
 
     # ------------------------------------------------------------- metadata
     def tap_rates(self) -> dict[str, int]:
@@ -428,6 +515,7 @@ class CompiledReceiver:
         return r
 
     def output_shapes(self) -> dict[str, tuple[int, ...]]:
+        """Public (post-:meth:`split_audio`) output key -> shape."""
         shapes: dict[str, tuple[int, ...]] = {}
         for g in self.plan.groups:
             tg = self.block >> g.stages

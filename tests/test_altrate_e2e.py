@@ -75,7 +75,7 @@ class Test192M:
         outs = []
         for i in range(0, len(iq), block):
             state, o = rx.step_iq(state, jnp.asarray(iq[i : i + block]))
-            outs.append({k: np.asarray(v) for k, v in o.items()})
+            outs.append({k: np.asarray(v) for k, v in rx.split_audio(o).items()})
         cat = {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
         return plan, iq, cat
 
@@ -146,7 +146,7 @@ class Test288K:
         got_parts = []
         for i in range(0, len(iq), block):
             state, o = rx.step_iq(state, jnp.asarray(iq[i : i + block]))
-            got_parts.append(np.asarray(o["audio/VFO51"]))
+            got_parts.append(np.asarray(rx.split_audio(o)["audio/VFO51"]))
         got = np.concatenate(got_parts).astype(np.float64)
 
         audio_ref, _ = refchain.channel_chain(

@@ -189,7 +189,7 @@ def _run_ours(plan, iq, block, **kw):
     outs = []
     for i in range(0, len(iq), block):
         state, o = rx.step_iq(state, jnp.asarray(iq[i : i + block]))
-        outs.append({k: np.asarray(v) for k, v in o.items()})
+        outs.append({k: np.asarray(v) for k, v in rx.split_audio(o).items()})
     return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
 
 

@@ -82,6 +82,7 @@ def outputs(rx, iq):
     outs = []
     for i in range(0, len(iq), BLOCK):
         state, o = rx.step_iq(state, jnp.asarray(iq[i : i + BLOCK]))
+        o = rx.split_audio(o)
         outs.append({k: np.asarray(v) for k, v in o.items()})
     cat = {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
     return cat
@@ -180,7 +181,7 @@ class TestStreaming:
         outs = []
         for i in range(0, len(iq), 2 * BLOCK):
             state, o = rx2.step_iq(state, jnp.asarray(iq[i : i + 2 * BLOCK]))
-            outs.append({k: np.asarray(v) for k, v in o.items()})
+            outs.append({k: np.asarray(v) for k, v in rx2.split_audio(o).items()})
         for k in outputs:
             cat = np.concatenate([o[k] for o in outs])
             np.testing.assert_array_equal(cat, outputs[k], err_msg=k)
@@ -251,6 +252,8 @@ size=1
             c = jnp.asarray(x)
             s1, o1 = rx_direct.step_iq(s1, c)
             s2, o2 = rx_oss.step_iq(s2, c)
+            o1 = rx_direct.split_audio(o1)
+            o2 = rx_oss.split_audio(o2)
             d = np.abs(
                 np.asarray(o1["audio/VFO01"]).astype(np.int32)
                 - np.asarray(o2["audio/VFO01"]).astype(np.int32)

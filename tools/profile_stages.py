@@ -1,0 +1,229 @@
+"""Per-stage on-chip timing of the flagship receiver step, by ABLATION.
+
+Standalone micro-programs mis-measure on the remote-TPU backend (several
+small fused conv+int16 programs hang its compiler or poison the session —
+see PARITY.md "axon quirks"), so stages are timed as cumulative variants of
+the REAL step: each variant runs the pipeline up to a cut point and emits
+that point's tensors; XLA dead-code-eliminates everything after the cut.
+The difference between consecutive variants is the cost of the stage between
+their cut points.  Every variant is a full-step-shaped program (u8 in,
+planar f32 / 1-D int16 out), so none of the small-program quirks apply; each
+variant runs in its own subprocess so a backend degradation cannot
+contaminate later measurements.
+
+Usage:
+    python tools/profile_stages.py            # all variants, table + deltas
+    python tools/profile_stages.py --json     # one JSON line
+    python tools/profile_stages.py --stage front  # a single variant (JSON)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+# cut points, in pipeline order: each includes everything before it
+STAGES = ["ingest", "dc", "front", "bucket_mix", "bucket_casc", "usb",
+          "audio", "full", "full_pallas"]
+
+
+def _build_variant(rx, stage: str):
+    """A jittable (state, u8) -> outputs step cut at ``stage``.
+
+    Mirrors CompiledReceiver._step_iq / _bucket_step using the receiver's own
+    consts; returns only planar f32 (and the full step's int16) outputs."""
+    import jax
+    import jax.numpy as jnp
+
+    from sdrreceiver_tpu.kernels import (
+        dc, fir, halfband, ingest, nco, ossfft, usbdemod,
+    )
+    from sdrreceiver_tpu.utils import planar
+
+    plan = rx.plan
+    cut = STAGES.index(stage)
+
+    def step(pstate, raw):
+        state = planar.from_planar(pstate)
+        outs = {}
+        x = ingest.u8_iq_to_complex(raw)
+        if cut == 0:
+            return {"re": x.real, "im": x.imag}
+        if plan.dc_correct:
+            _, x = dc.dc_block(state["dc"], x)
+        if cut == 1:
+            return {"re": x.real, "im": x.imag}
+        zs = {}
+        for g in plan.groups:
+            gk = f"g{g.index}"
+            if g.direct:
+                zs[gk] = x[None, :]
+                continue
+            gs = state[gk]
+            _, z = nco.mix_block(gs["nco"], x, plan.fs)
+            _, z = halfband.cascade_apply(
+                gs["cascade"], z, rx._consts[f"{gk}/hb"]
+            )
+            zs[gk] = z
+        if cut == 2:
+            return {f"{k}_re": v[0].real for k, v in zs.items()} | {
+                f"{k}_im": v[0].imag for k, v in zs.items()
+            }
+        for g in plan.groups:
+            gk = f"g{g.index}"
+            z = zs[gk]
+            for bi, b in enumerate(g.buckets):
+                bk = f"{gk}/b{bi}"
+                bs = state[gk][f"b{bi}"]
+                _, y = nco.mix_block(bs["nco"], z[0], g.out_rate)
+                if cut >= 4:
+                    _, y = halfband.cascade_apply(
+                        bs["cascade"], y, rx._consts[f"{bk}/hb"]
+                    )
+                    if b.late_factor > 1:
+                        _, y = fir.conv_block(
+                            bs["late"], y, rx._consts[f"{bk}/late"],
+                            b.late_factor,
+                        )
+                if cut <= 4:
+                    outs[f"{bk}_re"] = y.real
+                    outs[f"{bk}_im"] = y.imag
+                    continue
+                _, audio = usbdemod.usb_block(
+                    bs["usb"], y, rx._consts[f"{bk}/hilbert"]
+                )
+                if cut >= 6:
+                    if f"{bk}/audio_oss" in rx._consts:
+                        _, audio = ossfft.oss_block(
+                            bs["audio"], audio, rx._consts[f"{bk}/audio_oss"]
+                        )
+                        audio = audio.real
+                    elif f"{bk}/audio" in rx._consts:
+                        _, audio = fir.conv_block(
+                            bs["audio"], audio, rx._consts[f"{bk}/audio"]
+                        )
+                if cut <= 6:
+                    outs[f"{bk}_a"] = audio
+                    continue
+                pcm = usbdemod.quantize_i16(audio, rx._consts[f"{bk}/gains"])
+                outs[f"pcm/{bk}"] = pcm.reshape(-1)
+        return outs
+
+    return jax.jit(step)
+
+
+def measure_stage(stage: str, block: int | None, loops: int) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, ".")
+    from __graft_entry__ import _benchmark_config
+    from sdrreceiver_tpu.graph import build_plan
+    from sdrreceiver_tpu.graph.compiler import CompiledReceiver
+
+    dev = jax.devices()[0]
+    on_tpu = "tpu" in dev.platform.lower() or "TPU" in str(dev)
+    plan = build_plan(_benchmark_config())
+    block = block or (1536000 if on_tpu else 98304)
+    loops = loops if on_tpu else max(3, loops // 10)
+
+    rng = np.random.default_rng(0)
+    u8 = jax.device_put(
+        jnp.asarray(rng.integers(0, 256, 2 * block).astype(np.uint8))
+    )
+
+    if stage in ("full", "full_pallas"):
+        rx = CompiledReceiver(
+            plan, block, use_pallas=(stage == "full_pallas"),
+            pallas_interpret=(stage == "full_pallas" and not on_tpu),
+        )
+        st = rx.init_state()
+        st, out = rx.step_u8(st, u8)
+        jax.block_until_ready(out)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(loops):
+                st, out = rx.step_u8(st, u8)
+            jax.block_until_ready(out)
+            best = min(best, (time.perf_counter() - t0) / loops)
+    else:
+        rx = CompiledReceiver(plan, block)
+        fn = _build_variant(rx, stage)
+        st = rx.init_state()
+        out = fn(st, u8)
+        jax.block_until_ready(out)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(loops):
+                out = fn(st, u8)
+            jax.block_until_ready(out)
+            best = min(best, (time.perf_counter() - t0) / loops)
+    return {"stage": stage, "us": best * 1e6, "block": block,
+            "device": str(dev)}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--loops", type=int, default=30)
+    ap.add_argument("--block", type=int, default=None)
+    ap.add_argument("--stage", default=None, choices=STAGES)
+    ap.add_argument("--json", action="store_true")
+    ap.add_argument("--no-pallas", action="store_true")
+    args = ap.parse_args()
+
+    if args.stage:
+        print(json.dumps(measure_stage(args.stage, args.block, args.loops)))
+        return 0
+
+    stages = [s for s in STAGES if not (args.no_pallas and s == "full_pallas")]
+    rows = []
+    for s in stages:
+        cmd = [sys.executable, "-u", __file__, "--stage", s,
+               "--loops", str(args.loops)]
+        if args.block:
+            cmd += ["--block", str(args.block)]
+        try:
+            r = subprocess.run(cmd, capture_output=True, text=True,
+                               timeout=580, cwd=".")
+            line = r.stdout.strip().splitlines()[-1]
+            rows.append(json.loads(line))
+        except Exception as e:
+            rows.append({"stage": s, "us": None, "error": str(e)[:200]})
+
+    by = {r["stage"]: r.get("us") for r in rows}
+    deltas = {}
+    prev = 0.0
+    for s in STAGES[:-2]:  # cumulative cuts up to "audio"
+        if by.get(s) is not None:
+            deltas[s] = by[s] - prev
+            prev = by[s]
+    if by.get("full") is not None:
+        deltas["quantize+rest"] = by["full"] - prev
+    if args.json:
+        print(json.dumps({"cumulative_us": by, "delta_us": deltas,
+                          "device": rows[0].get("device")}))
+    else:
+        print(f"{'cut point':16s} {'cumulative us':>14s} {'stage delta us':>15s}")
+        prev = 0.0
+        for s in stages:
+            v = by.get(s)
+            if v is None:
+                print(f"{s:16s} {'FAILED':>14s}")
+                continue
+            d = v - prev if s in deltas or s == "full" else float("nan")
+            print(f"{s:16s} {v:14.1f} {v - prev:15.1f}" if s not in (
+                "full_pallas",) else f"{s:16s} {v:14.1f}")
+            if s not in ("full_pallas",):
+                prev = v
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
