@@ -1,13 +1,27 @@
 """Headline benchmark: complex Msamples/s/chip through the full channelizer.
 
-Runs the flagship 27-channel sdr_25E-class receiver (DC removal, 2 main-VFO
-mix+cascade groups, 27 sub-VFO mix/decimate/USB-demod/quantize channels) on
-the default JAX device and prints ONE JSON line:
+Runs the flagship 27-channel sdr_25E-class receiver (u8 ingest, DC removal,
+2 main-VFO mix+cascade groups, 27 sub-VFO mix/decimate/USB-demod/quantize
+channels) on the default JAX device in BOTH execution modes (XLA and the
+fused Pallas front end) and prints ONE JSON line:
 
-    {"metric": ..., "value": Msps, "unit": "Msamples/s/chip", "vs_baseline": x}
+    {"metric": ..., "value": Msps, "unit": "Msamples/s/chip",
+     "vs_baseline": x, ...}
 
 vs_baseline is against BASELINE.json's north star of 1 complex Gsample/s/chip
-through the mix+halfband-decimate+USB-demod chain.
+through the mix+halfband-decimate+USB-demod chain.  Extra fields:
+
+    xla_msps / pallas_msps   both execution modes (headline = the better)
+    mode                     which mode produced the headline number
+    step_us                  wall per 1.536 Msample block (0.25 s of signal)
+    mfu                      model FLOPs/s over the chip's bf16 peak (we run
+                             f32-accumulated convs, so this understates MXU
+                             use by the f32/bf16 pass ratio)
+    hbm_utilization          minimum-traffic bytes/s over HBM peak
+    shard_overhead           step-time overhead of running the SAME plan
+                             through ShardedReceiver on a 1x1 mesh on this
+                             chip (the intra-host term of multi-host eff(N),
+                             docs/SCALING.md)
 """
 
 from __future__ import annotations
@@ -18,6 +32,45 @@ import time
 
 import numpy as np
 
+# chip peaks for roofline reporting (per chip). bf16 MXU FLOPs and HBM BW.
+_CHIP_PEAKS = {
+    # TPU v5e ("v5 lite"): 197 TFLOP/s bf16, 819 GB/s HBM
+    "v5 lite": (197e12, 819e9),
+    "v5e": (197e12, 819e9),
+    # TPU v4: 275 TFLOP/s bf16, 1228 GB/s
+    "v4": (275e12, 1228e9),
+    # TPU v5p: 459 TFLOP/s bf16, 2765 GB/s
+    "v5p": (459e12, 2765e9),
+    # TPU v6e (Trillium): 918 TFLOP/s bf16, 1640 GB/s
+    "v6 lite": (918e12, 1640e9),
+    "v6e": (918e12, 1640e9),
+}
+
+
+def _peaks(device) -> tuple[float, float] | None:
+    name = str(device).lower()
+    for key, peaks in _CHIP_PEAKS.items():
+        if key in name:
+            return peaks
+    return None
+
+
+def _time_steps(rx, u8, n_iter: int, n_loops: int) -> float:
+    """Best-of-N chained-state loops (amortizes remote-dispatch jitter)."""
+    import jax
+
+    state = rx.init_state()
+    state, out = rx.step_u8(state, u8)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(n_loops):
+        t0 = time.perf_counter()
+        for _ in range(n_iter):
+            state, out = rx.step_u8(state, u8)
+        jax.block_until_ready(out)
+        best = min(best, (time.perf_counter() - t0) / n_iter)
+    return best
+
 
 def main() -> int:
     import jax
@@ -26,51 +79,84 @@ def main() -> int:
     from __graft_entry__ import _benchmark_config
     from sdrreceiver_tpu.graph import build_plan
     from sdrreceiver_tpu.graph.compiler import CompiledReceiver
+    from sdrreceiver_tpu.obs.metrics import plan_cost_model
 
     plan = build_plan(_benchmark_config())
     dev = jax.devices()[0]
     on_tpu = "tpu" in dev.platform.lower() or "TPU" in str(dev)
     block = 1536000 if on_tpu else 98304
-    rx = CompiledReceiver(plan, block_samples=block)
 
     rng = np.random.default_rng(0)
     # raw u8 IQ — the dongle's native wire format (jonti/sdr.cpp:119-129);
     # the LUT conversion runs on-device as part of the measured chain
-    iq = jax.device_put(
+    u8 = jax.device_put(
         jnp.asarray(rng.integers(0, 256, 2 * block).astype(np.uint8))
     )
-
-    state = rx.init_state()
-    # warmup / compile
-    state, out = rx.step_u8(state, iq)
-    jax.block_until_ready(out)
-
-    # Best-of-N timing loops: the remote-TPU tunnel adds bursty dispatch
-    # jitter between whole runs, so one loop under-reports the chip's
-    # sustained rate.  Each loop is long enough (25 steps of 1.5 Msamples)
-    # to amortize dispatch; taking the fastest loop reports steady-state.
     n_iter = 25 if on_tpu else 5
     n_loops = 4 if on_tpu else 2
-    best_dt = float("inf")
-    for _ in range(n_loops):
-        t0 = time.perf_counter()
-        for _ in range(n_iter):
-            state, out = rx.step_u8(state, iq)
-        jax.block_until_ready(out)
-        best_dt = min(best_dt, time.perf_counter() - t0)
-    dt = best_dt
 
-    sps = block * n_iter / dt
+    dt_xla = _time_steps(CompiledReceiver(plan, block), u8, n_iter, n_loops)
+    try:
+        dt_pal = _time_steps(
+            CompiledReceiver(plan, block, use_pallas=on_tpu,
+                             pallas_interpret=not on_tpu),
+            u8, n_iter, n_loops,
+        )
+    except Exception as e:
+        print(f"pallas mode failed: {e}", file=sys.stderr)
+        dt_pal = float("inf")
+
+    dt = min(dt_xla, dt_pal)
+    mode = "pallas" if dt_pal < dt_xla else "xla"
+    sps = block / dt
+
+    # -- roofline (VERDICT r2 item 2): model FLOPs+bytes over measured time
+    cost = plan_cost_model(plan, block)
+    # actual ingest is u8 (2 bytes/sample), not complex64
+    bytes_min = 2.0 * block + (cost["bytes_per_block"] - 8.0 * block)
+    peaks = _peaks(dev)
+    mfu = hbm_util = None
+    if peaks:
+        peak_flops, peak_bw = peaks
+        mfu = cost["flops_per_block"] / dt / peak_flops
+        hbm_util = bytes_min / dt / peak_bw
+
+    # -- single-chip shard overhead (VERDICT r2 item 3 / docs/SCALING.md):
+    # the same plan through the sharded receiver on a 1x1 mesh of this chip
+    shard_overhead = None
+    try:
+        from sdrreceiver_tpu.dist import ShardedReceiver, make_mesh
+
+        mesh = make_mesh(n_time=1, n_chan=1, devices=[dev])
+        rx_sh = ShardedReceiver(plan, mesh, block)
+        dt_sh = _time_steps(rx_sh, u8, n_iter, n_loops)
+        shard_overhead = dt_sh / dt_xla - 1.0
+    except Exception as e:
+        print(f"shard-overhead measurement failed: {e}", file=sys.stderr)
+
     result = {
         "metric": "complex Msamples/s/chip through mix+decimate+demod chain (27ch sdr_25E-class)",
         "value": round(sps / 1e6, 2),
         "unit": "Msamples/s/chip",
         "vs_baseline": round(sps / 1e9, 4),
+        "mode": mode,
+        "xla_msps": round(block / dt_xla / 1e6, 2),
+        "pallas_msps": (
+            round(block / dt_pal / 1e6, 2) if np.isfinite(dt_pal) else None
+        ),
+        "step_us": round(dt * 1e6, 1),
+        "mfu": round(mfu, 5) if mfu is not None else None,
+        "hbm_utilization": round(hbm_util, 5) if hbm_util is not None else None,
+        "model_flops_per_block": cost["flops_per_block"],
+        "shard_overhead": (
+            round(shard_overhead, 4) if shard_overhead is not None else None
+        ),
     }
     print(json.dumps(result))
     print(
-        f"device={dev} block={block} iters={n_iter} wall={dt:.3f}s "
-        f"realtime_factor={sps / plan.fs:.1f}",
+        f"device={dev} block={block} iters={n_iter} "
+        f"realtime_factor={sps / plan.fs:.1f} "
+        f"xla={dt_xla * 1e6:.1f}us pallas={dt_pal * 1e6:.1f}us",
         file=sys.stderr,
     )
     return 0

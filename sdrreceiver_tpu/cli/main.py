@@ -52,6 +52,7 @@ def _build(args, block=None, taps=()):
         s.topic for g in plan.groups for b in g.buckets for s in b.subs
     } | {"main"} | {f"g{g.index}" for g in plan.groups}
     args._full_taps = full_topics
+    args._full_plan = plan
     args._multihost = None
     local_devices = None
     if getattr(args, "coordinator", None):
@@ -102,9 +103,15 @@ def _build(args, block=None, taps=()):
                 file=sys.stderr,
             )
             taps = tuple(t for t in taps if t not in dropped)
+    use_pallas = bool(getattr(args, "pallas", False))
     if mesh_arg:
         from ..dist import ShardedReceiver, make_mesh
 
+        if use_pallas:
+            raise SystemExit(
+                "--pallas is not supported together with --mesh "
+                "(fused kernels have no SPMD partitioning rule)"
+            )
         try:
             n_time, n_chan = (int(v) for v in mesh_arg.lower().split("x"))
         except ValueError:
@@ -116,7 +123,25 @@ def _build(args, block=None, taps=()):
             div = plan.block_divisor() * n_time
             block = ((plan.block_samples + div - 1) // div) * div
         return cfg, plan, ShardedReceiver(plan, mesh, block, emit_taps=tuple(taps))
-    return cfg, plan, compile_plan(plan, block, emit_taps=tuple(taps))
+    from ..graph.compiler import CompiledReceiver
+
+    interpret = False
+    if use_pallas:
+        import jax
+
+        # Mosaic compilation needs a TPU; other backends run the same
+        # kernels in interpreter mode (slow, correctness only)
+        interpret = "tpu" not in jax.devices()[0].platform.lower()
+        if interpret:
+            print(
+                "note: --pallas on a non-TPU backend runs in interpreter "
+                "mode (correctness only)",
+                file=sys.stderr,
+            )
+    return cfg, plan, CompiledReceiver(
+        plan, block, emit_taps=tuple(taps), use_pallas=use_pallas,
+        pallas_interpret=interpret,
+    )
 
 
 def cmd_plan(args) -> int:
@@ -567,36 +592,85 @@ def cmd_devices(args) -> int:
     return 0
 
 
-def cmd_bench(args) -> int:
-    _apply_backend(args.backend)
+def _bench_sps(rx, n_blocks: int) -> float:
+    """Steady-state samples/s of a receiver on synthetic u8 blocks (the
+    dongle wire format — backend-safe on restricted remote-TPU backends,
+    unlike complex64 host arrays)."""
     import jax
     import jax.numpy as jnp
 
     from ..core.runtime import run_pipeline
+
+    rng = np.random.default_rng(0)
+    xb = jax.device_put(
+        jnp.asarray(rng.integers(0, 256, 2 * rx.block).astype(np.uint8))
+    )
+    metrics = run_pipeline(
+        rx, (xb for _ in range(n_blocks + 1)), raw_u8=True,
+        max_blocks=n_blocks + 1,
+    )
+    # first block includes compile; recompute on the steady-state tail
+    tail = metrics.block_seconds[1:]
+    return rx.block * len(tail) / sum(tail)
+
+
+def cmd_bench(args) -> int:
+    _apply_backend(args.backend)
+    import jax
+
     from ..obs.metrics import plan_cost_model
 
     cfg, plan, rx = _build(args, args.block)
-    rng = np.random.default_rng(0)
-    block = (
-        rng.standard_normal(2 * rx.block).astype(np.float32).view(np.complex64)
-    )
-    xb = jax.device_put(jnp.asarray(block))
     n = args.blocks
-
-    metrics = run_pipeline(rx, (xb for _ in range(n + 1)), max_blocks=n + 1)
-    # first block includes compile; recompute on the steady-state tail
-    tail = metrics.block_seconds[1:]
-    sps = rx.block * len(tail) / sum(tail)
+    sps = _bench_sps(rx, n)
     out = {
         "device": str(jax.devices()[0]),
         "block_samples": rx.block,
         "blocks": n,
+        "mode": "pallas" if getattr(rx, "use_pallas", False) else (
+            "sharded" if getattr(args, "mesh", None) else "xla"
+        ),
         "msamples_per_second": round(sps / 1e6, 2),
         "realtime_factor": round(sps / plan.fs, 1),
         "cost_model": plan_cost_model(plan, rx.block),
     }
     if args._multihost:
         out["multihost"] = args._multihost
+        # eff(N) = min_h(sps_h) / sps_1 (docs/SCALING.md methodology):
+        # every process also benches the FULL config locally (sps_1 is a
+        # single-host quantity), then the per-host subplan rates are
+        # all-gathered so each process can print the fleet efficiency.
+        from ..graph import compile_plan
+
+        full_rx = compile_plan(args._full_plan)
+        sps_1 = _bench_sps(full_rx, max(2, n // 2))
+        out["multihost"]["sps_1_full_plan"] = round(sps_1 / 1e6, 2)
+        try:
+            import jax.numpy as jnp
+            from jax.experimental import multihost_utils
+
+            gathered = np.asarray(
+                multihost_utils.process_allgather(
+                    jnp.asarray([sps, sps_1], jnp.float32)
+                )
+            ).reshape(-1, 2)
+            all_sps, all_sps1 = gathered[:, 0], gathered[:, 1]
+            n_hosts = len(all_sps)
+            # normalized: 1.0 = each of N hosts runs its 1/N share N x as
+            # fast as one host runs the whole plan; the slowest host sets
+            # the fleet's sustainable rate (stream-synchronous pipeline).
+            # sps_1 uses the fleet max: on shared-core CI boxes concurrent
+            # processes contend and depress each other's full-plan probe.
+            eff = float(all_sps.min() / (n_hosts * all_sps1.max()))
+            out["multihost"]["sps_per_host_msps"] = [
+                round(s / 1e6, 2) for s in all_sps.tolist()
+            ]
+            out["multihost"]["eff"] = round(eff, 4)
+            out["multihost"]["eff_ceiling"] = out["multihost"][
+                "balance_efficiency"
+            ]
+        except Exception as e:
+            print(f"eff(N) aggregation failed: {e}", file=sys.stderr)
     print(json.dumps(out))
     return 0
 
@@ -620,6 +694,13 @@ def build_parser() -> argparse.ArgumentParser:
             help="run sharded over a (time x chan) device mesh, e.g. 4x2 "
             "(needs T*C devices on the selected backend; with "
             "--coordinator, T*C LOCAL devices per host)",
+        )
+        sp.add_argument(
+            "--pallas",
+            action="store_true",
+            help="route supported mix+cascade fronts through the fused "
+            "Pallas TPU kernels (single-device only; unsupported shapes "
+            "fall back per group/bucket)",
         )
         sp.add_argument(
             "--coordinator",
