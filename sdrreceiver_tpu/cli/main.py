@@ -47,7 +47,9 @@ def _build(args, block=None, taps=()):
     from ..graph import build_plan, compile_plan, load_ini
 
     cfg = load_ini(args.settings)
-    plan = build_plan(cfg)
+    plan = build_plan(
+        cfg, strict_reference=bool(getattr(args, "strict_reference", False))
+    )
     full_topics = {
         s.topic for g in plan.groups for b in g.buckets for s in b.subs
     } | {"main"} | {f"g{g.index}" for g in plan.groups}
@@ -149,7 +151,10 @@ def cmd_plan(args) -> int:
     from ..graph import build_plan, load_ini
     from ..obs.metrics import plan_cost_model
 
-    plan = build_plan(load_ini(args.settings))
+    plan = build_plan(
+        load_ini(args.settings),
+        strict_reference=bool(getattr(args, "strict_reference", False)),
+    )
     info = {
         "fs": plan.fs,
         "center_frequency": plan.center_frequency,
@@ -703,6 +708,14 @@ def build_parser() -> argparse.ArgumentParser:
             "fall back per group/bucket)",
         )
         sp.add_argument(
+            "--strict-reference",
+            action="store_true",
+            help="reproduce the reference's handling of sub VFOs that "
+            "match no main VFO (misprocessed through main group 0, "
+            "mainwindow.cpp:225) instead of planning them as "
+            "direct-from-input channels; see PARITY.md",
+        )
+        sp.add_argument(
             "--coordinator",
             default=None,
             metavar="HOST:PORT",
@@ -727,6 +740,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("plan", help="print the compiled channelizer plan")
     sp.add_argument("-s", "--settings", required=True)
     sp.add_argument("--backend", default=None)
+    sp.add_argument("--strict-reference", action="store_true")
     sp.set_defaults(fn=cmd_plan)
 
     sp = sub.add_parser("synth", help="generate a synthetic IQ recording")

@@ -171,8 +171,9 @@ class CompiledReceiver:
             tg = self.block >> g.stages
             for bi, b in enumerate(g.buckets):
                 self._fused(
-                    f"{gk}/b{bi}", b.channels, b.stages, g.out_rate,
-                    b.mixer_freqs(), tg, shared_input=True,
+                    f"{gk}/b{bi}", b.channels, b.stages,
+                    b.mix_fs(g.out_rate), b.mixer_freqs(), tg,
+                    shared_input=True,
                 )
             for bi, b in enumerate(g.buckets):
                 bk = f"{gk}/b{bi}"
@@ -218,7 +219,7 @@ class CompiledReceiver:
             for bi, b in enumerate(g.buckets):
                 c = b.channels
                 bs: dict[str, Any] = {
-                    "nco": nco.nco_init(b.mixer_freqs(), g.out_rate),
+                    "nco": nco.nco_init(b.mixer_freqs(), b.mix_fs(g.out_rate)),
                     "usb": usbdemod.usb_init(c),
                 }
                 if f"{gk}/b{bi}" in self._kernels:
@@ -326,11 +327,13 @@ class CompiledReceiver:
             y = jax.lax.complex(yr, yi)
             nbs["nco"] = dict(bs["nco"])
             nbs["nco"]["phase"] = nco.advance_per_block(
-                bs["nco"], g.out_rate, z.shape[-1]
+                bs["nco"], b.mix_fs(g.out_rate), z.shape[-1]
             )
             nbs["cascade_p"] = hbp
         else:
-            nbs["nco"], y = nco.mix_block(bs["nco"], z[0], g.out_rate)
+            nbs["nco"], y = nco.mix_block(
+                bs["nco"], z[0], b.mix_fs(g.out_rate)
+            )
             y = self._constrain_chan(y, b.channels)
             nbs["cascade"], y = halfband.cascade_apply(
                 bs["cascade"], y, self._consts[f"{bk}/hb"]

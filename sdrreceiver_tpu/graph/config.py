@@ -62,10 +62,20 @@ class ReceiverConfig:
     mix_offset: int = 0
     remote_rtl: str = ""
     remote_rtl_gain_idx: int = 0
+    #: The reference's auto_start clicks "Start" at launch when set
+    #: (mainwindow.cpp:290-350).  This CLI is headless and ALWAYS starts
+    #: (``run`` is the start button); the tuner-selection and bias-tee
+    #: sub-keys below are honored by ``cli run`` for local USB devices.
     auto_start: bool = False
     auto_start_tuner_serial: str = ""
     auto_start_tuner_idx: int = 0
     auto_start_biast: bool = False
+    #: The reference's disable_fft unchecks the GUI spectrum at auto-start
+    #: (mainwindow.cpp:344-349) purely to save CPU.  Here the scope is OFF
+    #: unless requested (``run --scope``), so every config runs as if
+    #: disable_fft=1; the key is parsed for schema compatibility and a
+    #: ``run --scope`` invocation deliberately overrides it (explicit flag
+    #: beats ini default).  Documented in PARITY.md.
     disable_fft: bool = False
     main_vfos: tuple[MainVfoConfig, ...] = ()
     vfos: tuple[SubVfoConfig, ...] = ()

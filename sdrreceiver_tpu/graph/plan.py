@@ -36,6 +36,7 @@ grouped-conv filter bank; unfiltered channels get a delta tap.
 from __future__ import annotations
 
 import dataclasses
+import warnings
 
 import numpy as np
 
@@ -86,6 +87,16 @@ class BucketPlan:
     late_factor: int  # 1 (none), 5 or 6
     out_rate: int
     subs: tuple[SubPlan, ...]
+    #: NCO phase modulus override; 0 = the group's out_rate.  Strict-
+    #: reference unmatched subs keep the reference's full-rate oscillator
+    #: (built for Fs but ticked once per group-rate sample,
+    #: mainwindow.cpp:175-225 + oscillator.cpp:9-11), i.e. the phase
+    #: advances by mixer_freq per SAMPLE modulo the INPUT Fs.
+    nco_fs: int = 0
+
+    def mix_fs(self, group_out_rate: int) -> int:
+        """The modulus for this bucket's NCO phase arithmetic."""
+        return self.nco_fs or group_out_rate
 
     @property
     def channels(self) -> int:
@@ -260,7 +271,21 @@ def _plan_sub(
     return match_idx, plan, stages, late
 
 
-def build_plan(cfg: ReceiverConfig) -> ReceiverPlan:
+def build_plan(
+    cfg: ReceiverConfig, strict_reference: bool = False
+) -> ReceiverPlan:
+    """Compile the config into an execution plan.
+
+    ``strict_reference``: reproduce the reference's handling of sub VFOs
+    that match NO main VFO.  The reference pushes them into main group 0
+    anyway (``VFOsub[main_idx]`` with ``main_idx`` still 0,
+    mainwindow.cpp:175-226) with parameters computed for the RAW input
+    stream (mixer = center - freq, stages = log2(Fs/out), oscillator
+    modulus Fs) — so they process group 0's decimated baseband with a
+    full-rate chain: wrong rate, wrong band, but exactly what the
+    reference publishes.  Default (False): plan them as a direct-from-
+    input group running at the rate their parameters assume, with a
+    warning (the divergence is also documented in PARITY.md)."""
     cfg.validate()
     fs = cfg.sample_rate
     bufsplit, block_samples = _plan_buffer(fs)
@@ -286,27 +311,68 @@ def build_plan(cfg: ReceiverConfig) -> ReceiverPlan:
             )
         )
 
-    # gather subs per (group, schedule) bucket
-    per_group: dict[int | None, dict[tuple[int, int, int], list[SubPlan]]] = {}
+    # gather subs per (group, schedule) bucket; key = (stages, late,
+    # out_rate, nco_fs) so strict-reference orphans (full-rate NCO modulus)
+    # never share a bucket with properly-matched channels
+    per_group: dict[int | None, dict[tuple[int, int, int, int], list[SubPlan]]] = {}
     for idx, sub in enumerate(cfg.vfos):
         gidx, plan, stages, late = _plan_sub(cfg, sub, idx, mains)
+        if gidx is None and strict_reference and mains:
+            # the reference pushes unmatched subs into main group 0 with
+            # raw-stream parameters (mainwindow.cpp:175-226): _plan_sub
+            # already computed those (main_mixer=0, main_out=Fs); keep the
+            # full-rate oscillator modulus so the phase advances by
+            # mixer_freq per group-rate sample, like the reference's
+            # Oscillator(Fs, mixer) ticked per input sample
+            warnings.warn(
+                f"vfo {sub.topic!r} matches no main VFO; strict_reference "
+                f"reproduces the reference's misprocessing through main "
+                f"group 0 (mainwindow.cpp:225)",
+                stacklevel=2,
+            )
+            per_group.setdefault(0, {}).setdefault(
+                (stages, late, plan.out_rate, fs), []
+            ).append(plan)
+            continue
+        if gidx is None and strict_reference:
+            # no main VFOs at all: the reference never processes subs then
+            # (sdrj fans buffers out to main VFOs only, sdrj.cpp:288-294)
+            warnings.warn(
+                f"vfo {sub.topic!r}: no main VFOs; the reference would "
+                f"never process this channel — dropping it "
+                f"(strict_reference)",
+                stacklevel=2,
+            )
+            continue
+        if gidx is None:
+            warnings.warn(
+                f"vfo {sub.topic!r} matches no main VFO; planning it as a "
+                f"direct-from-input channel at the rate its parameters "
+                f"assume (the reference would misprocess it through main "
+                f"group 0 — use strict_reference=True to reproduce that; "
+                f"see PARITY.md)",
+                stacklevel=2,
+            )
         per_group.setdefault(gidx, {}).setdefault(
-            (stages, late, plan.out_rate), []
+            (stages, late, plan.out_rate, 0), []
         ).append(plan)
+
+    def _buckets(d):
+        return tuple(
+            BucketPlan(
+                stages=k[0], late_factor=k[1], out_rate=k[2],
+                nco_fs=k[3], subs=tuple(v),
+            )
+            for k, v in sorted(d.items())
+        )
 
     groups: list[GroupPlan] = []
     for g in mains:
-        buckets = tuple(
-            BucketPlan(stages=k[0], late_factor=k[1], out_rate=k[2], subs=tuple(v))
-            for k, v in sorted(per_group.get(g.index, {}).items())
+        groups.append(
+            dataclasses.replace(g, buckets=_buckets(per_group.get(g.index, {})))
         )
-        groups.append(dataclasses.replace(g, buckets=buckets))
 
     if None in per_group:
-        buckets = tuple(
-            BucketPlan(stages=k[0], late_factor=k[1], out_rate=k[2], subs=tuple(v))
-            for k, v in sorted(per_group[None].items())
-        )
         groups.append(
             GroupPlan(
                 index=len(mains),
@@ -314,7 +380,7 @@ def build_plan(cfg: ReceiverConfig) -> ReceiverPlan:
                 mixer_freq=0,
                 out_rate=fs,
                 stages=0,
-                buckets=buckets,
+                buckets=_buckets(per_group[None]),
                 direct=True,
             )
         )

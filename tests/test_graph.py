@@ -216,3 +216,121 @@ size=1
 """
         with pytest.raises(ValueError, match="neither out_rate nor data_rate"):
             planmod.build_plan(cfgmod.parse_ini_text(txt))
+
+
+class TestStrictReference:
+    """Unmatched-sub handling: default = direct-from-input group with a
+    warning; strict_reference = the reference's misprocessing through main
+    group 0 (mainwindow.cpp:175-226), pinned structurally here."""
+
+    INI = """
+sample_rate=1536000
+center_frequency=1545600000
+zmq_address=tcp://*:6003
+[main_vfos]
+size=1
+1\\frequency=1545116000
+1\\out_rate=384000
+[vfos]
+size=2
+1\\frequency=1545005146
+1\\gain=5
+1\\data_rate=600
+1\\topic=VFO01
+2\\frequency=1599000000
+2\\gain=5
+2\\data_rate=600
+2\\topic=ORPHA
+"""
+
+    def test_default_plans_direct_group_with_warning(self):
+        import warnings
+
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            plan = planmod.build_plan(cfgmod.parse_ini_text(self.INI))
+        assert any("ORPHA" in str(x.message) for x in w)
+        assert any("direct-from-input" in str(x.message) for x in w)
+        # orphan runs on its own synthetic group at the raw rate
+        assert len(plan.groups) == 2
+        direct = plan.groups[1]
+        assert direct.direct and direct.out_rate == 1536000
+        (b,) = direct.buckets
+        assert b.subs[0].topic == "ORPHA"
+        assert b.stages == 7  # log2(1536000/12000)
+        assert b.nco_fs == 0  # group rate IS the raw rate here
+
+    def test_strict_pushes_orphan_into_main0(self):
+        import warnings
+
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            plan = planmod.build_plan(
+                cfgmod.parse_ini_text(self.INI), strict_reference=True
+            )
+        assert any("misprocessing" in str(x.message) for x in w)
+        # no synthetic group: the orphan lands in main group 0 like the
+        # reference's VFOsub[0].push_back (mainwindow.cpp:225)
+        assert len(plan.groups) == 1
+        g0 = plan.groups[0]
+        orphan_buckets = [
+            b for b in g0.buckets if any(s.topic == "ORPHA" for s in b.subs)
+        ]
+        assert len(orphan_buckets) == 1
+        b = orphan_buckets[0]
+        # raw-stream parameters: stages = log2(Fs/out), full-rate NCO
+        # modulus, mixer = center - freq (main_vfo_freq stays 0)
+        assert b.stages == 7
+        assert b.nco_fs == 1536000
+        assert b.mix_fs(g0.out_rate) == 1536000
+        s = b.subs[0]
+        assert s.mixer_freq == 1545600000 - 1599000000
+        # the matched channel is unaffected
+        matched = [
+            b for b in g0.buckets if any(s.topic == "VFO01" for s in b.subs)
+        ]
+        assert matched[0].nco_fs == 0
+
+    def test_strict_plan_compiles_and_runs(self):
+        import warnings
+
+        import jax.numpy as jnp
+        import numpy as np
+
+        from sdrreceiver_tpu.graph.compiler import CompiledReceiver
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            plan = planmod.build_plan(
+                cfgmod.parse_ini_text(self.INI), strict_reference=True
+            )
+        block = plan.block_divisor() * 4
+        rx = CompiledReceiver(plan, block)
+        st = rx.init_state()
+        _, o = rx.step_iq(st, jnp.zeros(block, jnp.complex64))
+        audio = rx.split_audio(o)
+        # the orphan emits (Tg0 >> 7) samples, labeled at its out_rate like
+        # the reference's outputRate field (vfo.cpp:66-67,432)
+        assert audio["audio/ORPHA"].shape == ((block >> 2) >> 7,)
+        assert rx.rates()["audio/ORPHA"] == 12000
+
+    def test_strict_without_mains_drops_orphans(self):
+        txt = """
+sample_rate=1536000
+center_frequency=1545600000
+[vfos]
+size=1
+1\\frequency=1545000000
+1\\gain=5
+1\\data_rate=600
+1\\topic=VFO01
+"""
+        import warnings
+
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            plan = planmod.build_plan(
+                cfgmod.parse_ini_text(txt), strict_reference=True
+            )
+        assert any("never process" in str(x.message) for x in w)
+        assert plan.num_channels() == 0
