@@ -11,9 +11,13 @@ fused Pallas front end) and prints ONE JSON line:
 vs_baseline is against BASELINE.json's north star of 1 complex Gsample/s/chip
 through the mix+halfband-decimate+USB-demod chain.  Extra fields:
 
-    xla_msps / pallas_msps   both execution modes (headline = the better)
+    xla_msps / pallas_msps   single-block-per-dispatch execution modes
+    burst_*_msps             k-blocks-per-dispatch (lax.scan) offline-
+                             throughput modes (burst_k blocks/call)
     mode                     which mode produced the headline number
     step_us                  wall per 1.536 Msample block (0.25 s of signal)
+                             in the headline mode
+    latency_step_us          best single-dispatch (live-path) step time
     mfu                      model FLOPs/s over the chip's bf16 peak (we run
                              f32-accumulated convs, so this understates MXU
                              use by the f32/bf16 pass ratio)
@@ -72,6 +76,26 @@ def _time_steps(rx, u8, n_iter: int, n_loops: int) -> float:
     return best
 
 
+def _time_burst(rx, u8_many, n_iter: int, n_loops: int) -> float:
+    """Per-BLOCK time of the k-blocks-per-dispatch burst path (step_many_u8
+    scans k ingest blocks inside one executable — amortizes the ~25 us
+    remote-dispatch floor that bounds the single-step path, PARITY.md)."""
+    import jax
+
+    k = u8_many.shape[0]
+    state = rx.init_state()
+    state, out = rx.step_many_u8(state, u8_many)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(n_loops):
+        t0 = time.perf_counter()
+        for _ in range(n_iter):
+            state, out = rx.step_many_u8(state, u8_many)
+        jax.block_until_ready(out)
+        best = min(best, (time.perf_counter() - t0) / (n_iter * k))
+    return best
+
+
 def main() -> int:
     import jax
     import jax.numpy as jnp
@@ -95,19 +119,45 @@ def main() -> int:
     n_iter = 25 if on_tpu else 5
     n_loops = 4 if on_tpu else 2
 
-    dt_xla = _time_steps(CompiledReceiver(plan, block), u8, n_iter, n_loops)
+    rx_xla = CompiledReceiver(plan, block)
+    rx_pal = CompiledReceiver(plan, block, use_pallas=on_tpu,
+                              pallas_interpret=not on_tpu)
+    dt_xla = _time_steps(rx_xla, u8, n_iter, n_loops)
     try:
-        dt_pal = _time_steps(
-            CompiledReceiver(plan, block, use_pallas=on_tpu,
-                             pallas_interpret=not on_tpu),
-            u8, n_iter, n_loops,
-        )
+        dt_pal = _time_steps(rx_pal, u8, n_iter, n_loops)
     except Exception as e:
         print(f"pallas mode failed: {e}", file=sys.stderr)
         dt_pal = float("inf")
 
-    dt = min(dt_xla, dt_pal)
-    mode = "pallas" if dt_pal < dt_xla else "xla"
+    # burst (offline-throughput) mode: k blocks per dispatch via lax.scan —
+    # the single-step path is dispatch-floor-bound (~25 us/call on the remote
+    # runtime vs ~9 us of DSP), so scanning k blocks in one executable is the
+    # throughput-optimal shape; live runs keep single steps for latency.
+    burst_k = 8 if on_tpu else 2
+    u8_many = jax.device_put(
+        jnp.asarray(
+            rng.integers(0, 256, (burst_k, 2 * block)).astype(np.uint8)
+        )
+    )
+    n_iter_b = max(1, n_iter // burst_k)
+    dt_burst_xla = dt_burst_pal = float("inf")
+    try:
+        dt_burst_xla = _time_burst(rx_xla, u8_many, n_iter_b, n_loops)
+    except Exception as e:
+        print(f"burst xla mode failed: {e}", file=sys.stderr)
+    try:
+        dt_burst_pal = _time_burst(rx_pal, u8_many, n_iter_b, n_loops)
+    except Exception as e:
+        print(f"burst pallas mode failed: {e}", file=sys.stderr)
+
+    times = {
+        "xla": dt_xla,
+        "pallas": dt_pal,
+        f"xla+burst{burst_k}": dt_burst_xla,
+        f"pallas+burst{burst_k}": dt_burst_pal,
+    }
+    mode = min(times, key=times.get)
+    dt = times[mode]
     sps = block / dt
 
     # -- roofline (VERDICT r2 item 2): model FLOPs+bytes over measured time
@@ -144,7 +194,17 @@ def main() -> int:
         "pallas_msps": (
             round(block / dt_pal / 1e6, 2) if np.isfinite(dt_pal) else None
         ),
+        "burst_k": burst_k,
+        "burst_xla_msps": (
+            round(block / dt_burst_xla / 1e6, 2)
+            if np.isfinite(dt_burst_xla) else None
+        ),
+        "burst_pallas_msps": (
+            round(block / dt_burst_pal / 1e6, 2)
+            if np.isfinite(dt_burst_pal) else None
+        ),
         "step_us": round(dt * 1e6, 1),
+        "latency_step_us": round(min(dt_xla, dt_pal) * 1e6, 1),
         "mfu": round(mfu, 5) if mfu is not None else None,
         "hbm_utilization": round(hbm_util, 5) if hbm_util is not None else None,
         "model_flops_per_block": cost["flops_per_block"],
@@ -156,7 +216,9 @@ def main() -> int:
     print(
         f"device={dev} block={block} iters={n_iter} "
         f"realtime_factor={sps / plan.fs:.1f} "
-        f"xla={dt_xla * 1e6:.1f}us pallas={dt_pal * 1e6:.1f}us",
+        f"xla={dt_xla * 1e6:.1f}us pallas={dt_pal * 1e6:.1f}us "
+        f"burst{burst_k}: xla={dt_burst_xla * 1e6:.1f}us/blk "
+        f"pallas={dt_burst_pal * 1e6:.1f}us/blk",
         file=sys.stderr,
     )
     return 0

@@ -122,11 +122,41 @@ class CompiledReceiver:
         # complex64 host arrays, so recordings are fed as raw f32 pairs and
         # packed to complex on device (sdrj.cpp:271-276 semantics)
         self.step_f32 = jax.jit(self._vec(self._step_f32), donate_argnums=(0,))
+        # burst entries: process a [k, ...] stack of ingest blocks in ONE
+        # dispatch via lax.scan (state carried exactly as in k single steps;
+        # outputs gain a leading k axis).  The remote-TPU runtime charges a
+        # ~25 us dispatch floor per executable call (PARITY.md round-3
+        # anatomy) — for offline/throughput work, scanning k blocks per call
+        # divides that floor by k.  Live realtime runs keep the single-block
+        # steps (one dispatch per 0.25 s buffer is the latency-optimal shape).
+        self.step_many_iq = jax.jit(
+            self._vec_many(self._step_iq), donate_argnums=(0,)
+        )
+        self.step_many_u8 = jax.jit(
+            self._vec_many(self._step_u8), donate_argnums=(0,)
+        )
+        self.step_many_f32 = jax.jit(
+            self._vec_many(self._step_f32), donate_argnums=(0,)
+        )
 
     def _vec(self, step):
         def wrapped(vec, block):
             new_state, outputs = step(self._svec.unpack(vec), block)
             return self._svec.pack(new_state), outputs
+
+        return wrapped
+
+    def _vec_many(self, step):
+        """Scan the packed-state step over a leading block axis.
+
+        ``_vec``'s ``(vec, block) -> (vec, outputs)`` is exactly a
+        ``lax.scan`` body, so burst semantics are k single steps by
+        construction — bit-for-bit, including in the sharded subclass
+        (whose ``_vec`` override pins the state sharding each iteration)."""
+        body = self._vec(step)
+
+        def wrapped(vec, blocks):
+            return jax.lax.scan(body, vec, blocks)
 
         return wrapped
 
@@ -468,6 +498,13 @@ class CompiledReceiver:
                 for ci, s in enumerate(b.subs):
                     out[f"audio/{s.topic}"] = flat[ci * ta : (ci + 1) * ta]
         return out
+
+    @staticmethod
+    def unstack_outputs(outputs: dict, k: int) -> list[dict]:
+        """Burst (``step_many_*``) outputs -> k per-block output dicts
+        (zero-copy views along the stacked leading axis), each in the exact
+        form a single step emits — feed them to :meth:`split_audio`."""
+        return [{key: v[i] for key, v in outputs.items()} for i in range(k)]
 
     # ------------------------------------------------------------- metadata
     def tap_rates(self) -> dict[str, int]:

@@ -168,6 +168,24 @@ class TestShardedReceiver:
                 assert d.max() <= 1, k
                 assert (d > 0).mean() < 1e-3, k
 
+    def test_burst_matches_single_steps(self, setup):
+        """step_many under the mesh: scan body re-pins the state sharding
+        each iteration; burst must equal single sharded steps bit-for-bit."""
+        from burstcmp import assert_outputs_close, assert_states_close
+
+        plan, x = setup
+        mesh = make_mesh(n_time=4, n_chan=2)
+        rx = ShardedReceiver(plan, mesh, BLOCK)
+        k = len(x) // BLOCK
+        blocks = jnp.asarray(x.reshape(k, BLOCK))
+        sm, om = rx.step_many_iq(rx.init_state(), blocks)
+        per = rx.unstack_outputs({key: np.asarray(v) for key, v in om.items()}, k)
+        s = rx.init_state()
+        for i in range(k):
+            s, o = rx.step_iq(s, blocks[i])
+            assert_outputs_close(per[i], o, f"blk{i}")
+        assert_states_close(rx, sm, s)
+
     def test_block_divisibility_enforced(self, setup):
         plan, _ = setup
         mesh = make_mesh(n_time=8)

@@ -168,3 +168,30 @@ size=3
                     - np.asarray(oref[k]).astype(np.int32)
                 )
                 assert d.max() <= 1, (k, i, d.max())
+
+    def test_burst_matches_single_steps(self, rng):
+        """Pallas kernels traced inside the lax.scan burst: step_many_iq
+        must be bit-identical to single fused steps."""
+        from sdrreceiver_tpu.graph import build_plan, parse_ini_text
+        from sdrreceiver_tpu.graph.compiler import CompiledReceiver
+        from sdrreceiver_tpu.io import iqfile
+
+        plan = build_plan(parse_ini_text(self.INI))
+        block, k = 49152, 2
+        iq = iqfile.synthesize_channels(
+            k * block,
+            1536000,
+            1545600000,
+            [(1545005146, 900.0, 10.0)],
+            noise=0.5,
+        )
+        from burstcmp import assert_outputs_close, assert_states_close
+
+        rx = CompiledReceiver(plan, block, use_pallas=True, pallas_interpret=True)
+        sm, om = rx.step_many_iq(rx.init_state(), jnp.asarray(iq.reshape(k, block)))
+        per = rx.unstack_outputs({key: np.asarray(v) for key, v in om.items()}, k)
+        s = rx.init_state()
+        for i in range(k):
+            s, o = rx.step_iq(s, jnp.asarray(iq[i * block : (i + 1) * block]))
+            assert_outputs_close(per[i], o, f"blk{i}")
+        assert_states_close(rx, sm, s)

@@ -191,6 +191,49 @@ class TestStreaming:
             compile_plan(rx.plan, block_samples=1000)
 
 
+class TestBurst:
+    """step_many_* (k blocks per dispatch via lax.scan) must match k single
+    steps — state carry and every output — to the cross-executable tolerance
+    (tests/burstcmp.py: exact integer state, float-ULP elsewhere)."""
+
+    def test_step_many_matches_sequential(self, rx, iq):
+        from burstcmp import assert_outputs_close, assert_states_close
+
+        k = 4
+        blocks = jnp.asarray(iq.reshape(k, rx.block))
+        state_m, outs_m = rx.step_many_iq(rx.init_state(), blocks)
+        outs_m = {key: np.asarray(v) for key, v in outs_m.items()}
+        per_block = rx.unstack_outputs(outs_m, k)
+
+        state = rx.init_state()
+        for i in range(k):
+            state, o = rx.step_iq(state, blocks[i])
+            assert_outputs_close(per_block[i], o, f"blk{i}")
+            # split_audio consumes an unstacked burst frame unchanged
+            assert set(rx.split_audio(per_block[i])) == set(rx.split_audio(
+                {key: np.asarray(vv) for key, vv in o.items()}
+            ))
+        assert_states_close(rx, state_m, state)
+
+    def test_step_many_u8_entry(self, rx):
+        """The u8 burst entry matches repeated u8 single steps (dongle-format
+        ingest is what bench.py and the live path feed)."""
+        from burstcmp import assert_outputs_close, assert_states_close
+
+        rng = np.random.default_rng(7)
+        k = 3
+        raw = rng.integers(0, 256, (k, 2 * rx.block)).astype(np.uint8)
+        state_m, outs_m = rx.step_many_u8(rx.init_state(), jnp.asarray(raw))
+        per_block = rx.unstack_outputs(
+            {key: np.asarray(v) for key, v in outs_m.items()}, k
+        )
+        state = rx.init_state()
+        for i in range(k):
+            state, o = rx.step_u8(state, jnp.asarray(raw[i]))
+            assert_outputs_close(per_block[i], o, f"blk{i}")
+        assert_states_close(rx, state_m, state)
+
+
 class TestCompressedIQ:
     def test_iq_forward_content(self, rx, iq, outputs):
         """The packed-nibble stream must decode back to the group baseband
