@@ -280,13 +280,13 @@ def cmd_process_file(args) -> int:
         with jax.profiler.trace(args.profile):
             metrics, final_state = run_pipeline(
                 rx, blocks, on_outputs, max_blocks=args.max_blocks, state=state,
-                return_state=True,
+                return_state=True, burst=args.burst,
             )
         print(f"profiler trace written to {args.profile}", file=sys.stderr)
     else:
         metrics, final_state = run_pipeline(
             rx, blocks, on_outputs, max_blocks=args.max_blocks, state=state,
-            return_state=True,
+            return_state=True, burst=args.burst,
         )
 
     written = []
@@ -773,6 +773,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--save-state", default=None, help="write the final state checkpoint here"
     )
     sp.add_argument("--wav", action="store_true", help="also write .wav audio files")
+    sp.add_argument(
+        "--burst", type=int, default=1, metavar="K",
+        help="process K ingest blocks per device dispatch (lax.scan burst "
+        "entries) — offline-throughput mode; pays the per-dispatch floor "
+        "once per K blocks (callbacks/outputs still per block, in order)",
+    )
     sp.add_argument(
         "--profile", default=None, metavar="DIR",
         help="write a jax.profiler trace of the run to DIR",

@@ -32,6 +32,7 @@ def run_pipeline(
     state=None,
     return_state: bool = False,
     fetch_filter: Callable[[str], bool] | None = None,
+    burst: int = 1,
 ):
     """Drive a CompiledReceiver over a block source.
 
@@ -50,9 +51,21 @@ def run_pipeline(
         are never copied device->host (e.g. inactive scope taps — the key
         set is static per compile, which tap gets FETCHED is a runtime
         choice, evaluated fresh each block).
+      burst: process this many blocks per device dispatch via the
+        ``step_many_*`` lax.scan entries (offline-throughput mode — the
+        dispatch floor is paid once per ``burst`` blocks; callbacks still
+        fire once per block, in order).  Incompatible with ``realtime_fs``
+        (pacing needs per-block dispatch); a tail shorter than ``burst``
+        runs through single steps so no extra executable is compiled.
 
     Returns PipelineMetrics (or (metrics, final_state) with return_state).
     """
+    burst = max(1, int(burst))
+    if burst > 1 and realtime_fs:
+        raise ValueError(
+            "burst > 1 is an offline-throughput mode; realtime pacing "
+            "requires per-block dispatch (burst=1)"
+        )
     metrics = PipelineMetrics()
     metrics.start()
     if state is None:
@@ -70,6 +83,12 @@ def run_pipeline(
 
     if raw_u8:
         step = rx.step_u8
+
+    if burst > 1:
+        return _run_burst(
+            rx, blocks, on_outputs, max_blocks, state, return_state,
+            fetch_filter, burst, metrics,
+        )
 
     pending: dict[str, jax.Array] | None = None
     t_block = rx.block
@@ -127,6 +146,81 @@ def run_pipeline(
                     }
                 )
             )
+    metrics.finish()
+    if return_state:
+        return metrics, state
+    return metrics
+
+
+def _run_burst(
+    rx, blocks, on_outputs, max_blocks, state, return_state,
+    fetch_filter, burst, metrics,
+):
+    """Burst body of run_pipeline: ``burst`` blocks per device dispatch
+    (step_many_* lax.scan entries), same double-buffered overlap — publish
+    the previous unit's frames while the current unit computes.  A tail
+    shorter than ``burst`` runs through single steps so no second scan
+    executable is ever compiled (a new shape costs ~20-40 s over a
+    remote-TPU tunnel)."""
+    import itertools
+
+    t_block = rx.block
+
+    def publish(outs, k):
+        """Fetch one unit (stacked if k, single frame if k is None) and fire
+        the per-block callback in block order."""
+        if on_outputs is None:
+            jax.block_until_ready(outs)
+            return 0
+        host = {
+            key: fetch_np(v)
+            for key, v in outs.items()
+            if fetch_filter is None or fetch_filter(key)
+        }
+        frames = [host] if k is None else rx.unstack_outputs(host, k)
+        return sum(on_outputs(rx.split_audio(f)) for f in frames)
+
+    def step1(s, b):
+        if b.dtype == jnp.uint8:
+            return rx.step_u8(s, b)
+        if b.dtype == jnp.float32:
+            return rx.step_f32(s, b)
+        return rx.step_iq(s, b)
+
+    def record(k, t_compute, sent):
+        metrics.record_block(t_block, t_compute / k, sent)
+        for _ in range(k - 1):
+            metrics.record_block(t_block, t_compute / k, 0)
+
+    it = iter(blocks)
+    if max_blocks is not None:
+        it = itertools.islice(it, max_blocks)
+    pending: tuple[dict, int | None] | None = None
+    while True:
+        stack = list(itertools.islice(it, burst))
+        if not stack:
+            break
+        if len(stack) == burst:
+            t0 = time.perf_counter()
+            arr = jnp.asarray(np.stack(stack))
+            if arr.dtype == jnp.uint8:
+                state, outs = rx.step_many_u8(state, arr)
+            elif arr.dtype == jnp.float32:
+                state, outs = rx.step_many_f32(state, arr)
+            else:
+                state, outs = rx.step_many_iq(state, arr)
+            sent = publish(*pending) if pending is not None else 0
+            pending = (outs, burst)
+            record(burst, time.perf_counter() - t0, sent)
+        else:
+            for b in stack:
+                t0 = time.perf_counter()
+                state, outs = step1(state, jnp.asarray(b))
+                sent = publish(*pending) if pending is not None else 0
+                pending = (outs, None)
+                record(1, time.perf_counter() - t0, sent)
+    if pending is not None:
+        metrics.messages_sent += publish(*pending)
     metrics.finish()
     if return_state:
         return metrics, state

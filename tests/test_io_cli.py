@@ -230,6 +230,26 @@ class TestCliEndToEnd:
         peak = np.fft.rfftfreq(len(a), 1 / 12000)[spec.argmax()]
         assert abs(peak - 1000.0) < 15
 
+        # --burst (k blocks/dispatch): same audio, within the
+        # cross-executable LSB tolerance (tests/burstcmp.py)
+        outdir_b = tmp_path / "out_burst"
+        assert (
+            main(
+                [
+                    "process-file", "-s", ini, "--iq", iq,
+                    "--out", str(outdir_b), "--block", "49152",
+                    "--burst", "3",
+                ]
+            )
+            == 0
+        )
+        capsys.readouterr()
+        from burstcmp import assert_outputs_close
+
+        audio_b = np.fromfile(outdir_b / "audio_VFO01.s16", np.int16)
+        assert len(audio_b) == len(audio)
+        assert_outputs_close({"a": audio_b}, {"a": audio})
+
     def test_plan_command(self, ini, capsys):
         from sdrreceiver_tpu.cli.main import main
 

@@ -60,6 +60,42 @@ class TestPacingMetrics:
         assert "pacing_slack_ms" not in metrics.summary()
 
 
+class TestBurstPipeline:
+    def _audio(self, rng_seed, burst, n=7):
+        rng = np.random.default_rng(rng_seed)
+        raw = [
+            rng.standard_normal(2 * BLOCK).astype(np.float32) for _ in range(n)
+        ]
+        got = []
+        metrics = run_pipeline(
+            _rx(),
+            (jnp.asarray(b) for b in raw),
+            on_outputs=lambda o: got.append(o["audio/VFO01"]) or 1,
+            burst=burst,
+        )
+        return np.concatenate(got), metrics
+
+    def test_burst_matches_per_block(self):
+        """burst=3 over 7 blocks (2 full units + 1-block tail through the
+        single-step fallback): same audio as burst=1, callbacks per block."""
+        from burstcmp import assert_outputs_close
+
+        a1, m1 = self._audio(5, burst=1)
+        a3, m3 = self._audio(5, burst=3)
+        assert m1.blocks == m3.blocks == 7
+        assert m1.messages_sent == m3.messages_sent == 7
+        assert len(a1) == len(a3)
+        assert_outputs_close({"audio": a3}, {"audio": a1})
+
+    def test_burst_rejects_realtime(self):
+        import pytest
+
+        with pytest.raises(ValueError, match="realtime"):
+            run_pipeline(
+                _rx(), iter(()), burst=2, realtime_fs=1536000
+            )
+
+
 class TestFetch:
     def test_need_copy_resolved_per_array(self, monkeypatch):
         """The copy decision is per-array platform, not a global latch
