@@ -97,7 +97,12 @@ class ShardedReceiver(CompiledReceiver):
         return wrapped
 
     # -- front end under shard_map ------------------------------------------
-    def _front(self, state: dict, iq: jax.Array):
+    def _front(self, state: dict, x):
+        """Planar boundary, complex internals: the halo kernels (dist.halo)
+        operate on complex arrays inside the shard_map (a correctness path —
+        the single-chip planar layout work, kernels/ingest.py, targets the
+        flagship unsharded step); planar pairs cross the shard_map boundary
+        so the shared bucket back half stays complex-free."""
         plan = self.plan
         t_local = self.block // self.n_time
 
@@ -112,44 +117,57 @@ class ShardedReceiver(CompiledReceiver):
                     "cascade": state[gk]["cascade"],
                 }
 
-        def local_fn(st: dict, x_local: jax.Array):
+        def local_fn(st: dict, xr_local: jax.Array, xi_local: jax.Array):
+            x_local = jax.lax.complex(xr_local, xi_local)
             new_st: dict = {}
             if plan.dc_correct:
-                new_st["dc"], y = halo.timeshard_dc_local(
-                    st["dc"], x_local, TIME_AXIS
+                mean_c = jax.lax.complex(st["dc"][0], st["dc"][1])
+                mean_c, y = halo.timeshard_dc_local(
+                    mean_c, x_local, TIME_AXIS
                 )
+                new_st["dc"] = jnp.stack([mean_c.real, mean_c.imag])
             else:
                 new_st["dc"], y = st["dc"], x_local
-            zs: dict[str, jax.Array] = {}
+            zs: dict[str, tuple[jax.Array, jax.Array]] = {}
             for g in plan.groups:
                 gk = f"g{g.index}"
                 if g.direct:
-                    zs[gk] = y[None, :]
+                    zs[gk] = (y.real[None, :], y.imag[None, :])
                     new_st[gk] = st[gk]
                     continue
                 gs = st[gk]
                 nco_state, z = halo.timeshard_mix_local(
                     gs["nco"], y, plan.fs, t_local, TIME_AXIS
                 )
-                hists, z = halo.timeshard_cascade_local(
-                    gs["cascade"], z, self._consts[f"{gk}/hb"], TIME_AXIS
+                hists_c = [
+                    jax.lax.complex(h[0], h[1]) for h in gs["cascade"]
+                ]
+                hists_c, z = halo.timeshard_cascade_local(
+                    hists_c, z, self._consts[f"{gk}/hb"], TIME_AXIS
                 )
-                new_st[gk] = {"nco": nco_state, "cascade": hists}
-                zs[gk] = z
-            return new_st, y, zs
+                new_st[gk] = {
+                    "nco": nco_state,
+                    "cascade": [
+                        jnp.stack([h.real, h.imag]) for h in hists_c
+                    ],
+                }
+                zs[gk] = (z.real, z.imag)
+            return new_st, (y.real, y.imag), zs
 
-        zs_specs = {f"g{g.index}": P(None, TIME_AXIS) for g in self.plan.groups}
-        iq = jax.lax.with_sharding_constraint(
-            iq, NamedSharding(self.mesh, P(TIME_AXIS))
-        )
-        new_front, x, zs = jax.shard_map(
+        pz = P(None, TIME_AXIS)
+        zs_specs = {f"g{g.index}": (pz, pz) for g in self.plan.groups}
+        xr, xi = x
+        tsh = NamedSharding(self.mesh, P(TIME_AXIS))
+        xr = jax.lax.with_sharding_constraint(xr, tsh)
+        xi = jax.lax.with_sharding_constraint(xi, tsh)
+        new_front, x_out, zs = jax.shard_map(
             local_fn,
             mesh=self.mesh,
-            in_specs=(P(), P(TIME_AXIS)),
-            out_specs=(P(), P(TIME_AXIS), zs_specs),
+            in_specs=(P(), P(TIME_AXIS), P(TIME_AXIS)),
+            out_specs=(P(), (P(TIME_AXIS), P(TIME_AXIS)), zs_specs),
             check_vma=False,
-        )(front_state, iq)
-        return dict(new_front), x, zs
+        )(front_state, xr, xi)
+        return dict(new_front), x_out, zs
 
     # -- bucket hook: pin the channel axis to the chan mesh axis -------------
     def _constrain_chan(self, y: jax.Array, channels: int) -> jax.Array:

@@ -236,7 +236,7 @@ class CompiledReceiver:
 
     def _init_state(self) -> dict:
         plan = self.plan
-        state: dict[str, Any] = {"dc": dc.dc_init()}
+        state: dict[str, Any] = {"dc": dc.dc_init_planar()}
         for g in plan.groups:
             gs: dict[str, Any] = {}
             gk = f"g{g.index}"
@@ -245,7 +245,7 @@ class CompiledReceiver:
                 if gk in self._kernels:
                     gs["cascade_p"] = self._kernels[gk].init_hists()
                 else:
-                    gs["cascade"] = halfband.cascade_init(1, g.stages)
+                    gs["cascade"] = halfband.cascade_init_planar(1, g.stages)
             for bi, b in enumerate(g.buckets):
                 c = b.channels
                 bs: dict[str, Any] = {
@@ -255,10 +255,10 @@ class CompiledReceiver:
                 if f"{gk}/b{bi}" in self._kernels:
                     bs["cascade_p"] = self._kernels[f"{gk}/b{bi}"].init_hists()
                 else:
-                    bs["cascade"] = halfband.cascade_init(c, b.stages)
+                    bs["cascade"] = halfband.cascade_init_planar(c, b.stages)
                 if b.late_factor > 1:
                     ntaps = self._consts[f"g{g.index}/b{bi}/late"].shape[1]
-                    bs["late"] = stream.fir_history_init(c, ntaps)
+                    bs["late"] = fir.fir_history_init_planar(c, ntaps)
                 if f"g{g.index}/b{bi}/audio" in self._consts:
                     ntaps = self._consts[f"g{g.index}/b{bi}/audio"].shape[1]
                     bs["audio"] = stream.fir_history_init(c, ntaps, jnp.float32)
@@ -267,59 +267,74 @@ class CompiledReceiver:
         return state
 
     # ------------------------------------------------------------------ step
-    def _tap(self, z: jax.Array) -> jax.Array:
-        """Planar [2, T'] tap of a complex [T] signal, truncated to the LAST
-        ``tap_samples`` — the scope shows the block's most recent window,
-        like the reference FFT-ing the freshest buffer it is handed
-        (mainwindow.cpp:418-427).  Taps are emitted planar: remote TPU
-        backends cannot device->host copy complex arrays."""
+    #
+    # Internal signal representation is PLANAR: every complex signal is an
+    # (re, im) tuple of f32 arrays and no complex64 array exists anywhere in
+    # the step.  complex64 intermediates lower to minor-dim-2 layouts on TPU
+    # and cost 10-50x roofline per op (round-3 honest profile: the complex
+    # step measured 25.4 ms/block of pure device time vs ~0.3 ms of DSP;
+    # tools/layout_probe.py has the per-formulation data).
+
+    def _tap(self, z) -> jax.Array:
+        """Planar [2, T'] tap of a planar ``(re, im)`` signal, truncated to
+        the LAST ``tap_samples`` — the scope shows the block's most recent
+        window, like the reference FFT-ing the freshest buffer it is handed
+        (mainwindow.cpp:418-427)."""
+        zr, zi = z
         lim = self.tap_samples
-        if lim is not None and z.shape[-1] > lim:
-            z = z[..., -lim:]
-        return jnp.stack([z.real, z.imag])
+        if lim is not None and zr.shape[-1] > lim:
+            zr, zi = zr[..., -lim:], zi[..., -lim:]
+        return jnp.stack([zr, zi])
 
     def _step_u8(self, state: dict, raw: jax.Array):
-        return self._step_iq(state, ingest.u8_iq_to_complex(raw))
+        return self._step_planar(state, ingest.u8_iq_to_planar(raw))
 
     def _step_f32(self, state: dict, raw: jax.Array):
-        return self._step_iq(state, ingest.f32_pairs_to_complex(raw))
+        return self._step_planar(state, ingest.f32_pairs_to_planar(raw))
 
-    def _front(self, state: dict, iq: jax.Array):
+    def _step_iq(self, state: dict, iq: jax.Array):
+        """Complex-input entry (tests / CPU recordings); the planar entries
+        above are the TPU product path."""
+        return self._step_planar(state, (iq.real, iq.imag))
+
+    def _front(self, state: dict, x):
         """DC removal + every group's full-rate mix + half-band cascade.
 
-        Returns ``(partial new_state, post-DC input x, {gk: z [1, Tg]})``.
+        ``x`` is the planar ``(re, im)`` input pair.  Returns
+        ``(partial new_state, post-DC planar x, {gk: (zr, zi) [1, Tg]})``.
         ``ShardedReceiver`` overrides this with a shard_map over the time
         mesh axis; the bucket back half below is shared."""
         plan = self.plan
         new_state: dict[str, Any] = {}
         if plan.dc_correct:
-            new_state["dc"], x = dc.dc_block(state["dc"], iq)
+            new_state["dc"], x = dc.dc_block_planar(state["dc"], x)
         else:
-            new_state["dc"], x = state["dc"], iq
-        zs: dict[str, jax.Array] = {}
+            new_state["dc"] = state["dc"]
+        xr, xi = x
+        zs: dict[str, tuple[jax.Array, jax.Array]] = {}
         for g in plan.groups:
             gk = f"g{g.index}"
             gs = state[gk]
             ngs: dict[str, Any] = {}
             if g.direct:
-                zs[gk] = x[None, :]
+                zs[gk] = (xr[None, :], xi[None, :])
             elif gk in self._kernels:
                 kern = self._kernels[gk]
                 yr, yi, hbp = kern(
                     gs["nco"]["phase"].astype(jnp.int32),
                     gs["cascade_p"],
-                    x.real[None, :],
-                    x.imag[None, :],
+                    xr[None, :],
+                    xi[None, :],
                 )
-                zs[gk] = jax.lax.complex(yr, yi)
+                zs[gk] = (yr, yi)
                 ngs["nco"] = dict(gs["nco"])
                 ngs["nco"]["phase"] = nco.advance_per_block(
                     gs["nco"], plan.fs, self.block
                 )
                 ngs["cascade_p"] = hbp
             else:
-                ngs["nco"], z = nco.mix_block(gs["nco"], x, plan.fs)
-                ngs["cascade"], z = halfband.cascade_apply(
+                ngs["nco"], z = nco.mix_block_planar(gs["nco"], x, plan.fs)
+                ngs["cascade"], z = halfband.cascade_apply_planar(
                     gs["cascade"], z, self._consts[f"{gk}/hb"]
                 )
                 zs[gk] = z
@@ -335,37 +350,42 @@ class CompiledReceiver:
         g,
         bi: int,
         bs: dict,
-        z: jax.Array,
+        z,
         outputs: dict[str, jax.Array],
     ) -> dict:
-        """One sub-VFO bucket's full pipeline on the group baseband ``z``:
-        mix, half-band cascade, per-channel scope taps, late ÷5/÷6, USB
-        demod, audio low-pass (direct or overlap-save FFT), int16 quantize.
-        Shared verbatim by the single-device and sharded receivers so the
-        two can never diverge in features again."""
+        """One sub-VFO bucket's full pipeline on the planar group baseband
+        ``z = (zr, zi)`` ``[1, Tg]``: mix, half-band cascade, per-channel
+        scope taps, late ÷5/÷6, USB demod, audio low-pass (direct or
+        overlap-save FFT), int16 quantize.  Shared verbatim by the
+        single-device and sharded receivers so the two can never diverge in
+        features again."""
         b = g.buckets[bi]
         bk = f"g{g.index}/b{bi}"
+        zr, zi = z
         nbs: dict[str, Any] = {}
         if bk in self._kernels:
             kern = self._kernels[bk]
             yr, yi, hbp = kern(
                 bs["nco"]["phase"].astype(jnp.int32),
                 bs["cascade_p"],
-                z.real,  # [1, Tg]: shared_input reads one block
-                z.imag,
+                zr,  # [1, Tg]: shared_input reads one block
+                zi,
             )
-            y = jax.lax.complex(yr, yi)
+            y = (yr, yi)
             nbs["nco"] = dict(bs["nco"])
             nbs["nco"]["phase"] = nco.advance_per_block(
-                bs["nco"], b.mix_fs(g.out_rate), z.shape[-1]
+                bs["nco"], b.mix_fs(g.out_rate), zr.shape[-1]
             )
             nbs["cascade_p"] = hbp
         else:
-            nbs["nco"], y = nco.mix_block(
-                bs["nco"], z[0], b.mix_fs(g.out_rate)
+            nbs["nco"], y = nco.mix_block_planar(
+                bs["nco"], (zr[0], zi[0]), b.mix_fs(g.out_rate)
             )
-            y = self._constrain_chan(y, b.channels)
-            nbs["cascade"], y = halfband.cascade_apply(
+            y = (
+                self._constrain_chan(y[0], b.channels),
+                self._constrain_chan(y[1], b.channels),
+            )
+            nbs["cascade"], y = halfband.cascade_apply_planar(
                 bs["cascade"], y, self._consts[f"{bk}/hb"]
             )
         for ci, s in enumerate(b.subs):
@@ -373,12 +393,12 @@ class CompiledReceiver:
             # point the reference's per-VFO FFT taps (vfo.cpp:290-295,
             # before usb_decimdemod's late ÷5/÷6)
             if s.topic in self.emit_taps:
-                outputs[f"tap/{s.topic}"] = self._tap(y[ci])
+                outputs[f"tap/{s.topic}"] = self._tap((y[0][ci], y[1][ci]))
         if b.late_factor > 1:
-            nbs["late"], y = fir.conv_block(
+            nbs["late"], y = fir.conv_block_planar(
                 bs["late"], y, self._consts[f"{bk}/late"], b.late_factor
             )
-        nbs["usb"], audio = usbdemod.usb_block(
+        nbs["usb"], audio = usbdemod.usb_block_planar(
             bs["usb"], y, self._consts[f"{bk}/hilbert"]
         )
         if f"{bk}/audio_oss" in self._consts:
@@ -399,11 +419,11 @@ class CompiledReceiver:
         outputs[f"pcm/{bk}"] = pcm.reshape(-1)
         return nbs
 
-    def _step_iq(self, state: dict, iq: jax.Array):
+    def _step_planar(self, state: dict, x):
         plan = self.plan
         outputs: dict[str, jax.Array] = {}
 
-        new_state, x, zs = self._front(state, iq)
+        new_state, x, zs = self._front(state, x)
         if "main" in self.emit_taps:
             outputs["tap/main"] = self._tap(x)
 
@@ -413,10 +433,10 @@ class CompiledReceiver:
             ngs = new_state[gk]
             z = zs[gk]
             if gk in self.emit_taps:
-                outputs[f"tap/{gk}"] = self._tap(z[0])
+                outputs[f"tap/{gk}"] = self._tap((z[0][0], z[1][0]))
             if g.publishes_iq:
-                outputs[f"iq/{g.zmq_topic}"] = compress.compress_style1(
-                    z[0], float(g.compress_scale)
+                outputs[f"iq/{g.zmq_topic}"] = compress.compress_style1_planar(
+                    (z[0][0], z[1][0]), float(g.compress_scale)
                 )
             for bi in range(len(g.buckets)):
                 ngs[f"b{bi}"] = self._bucket_step(
@@ -427,13 +447,25 @@ class CompiledReceiver:
     # ---------------------------------------------------- state portability
     _HB_HIST = 10  # half-band taps - 1; pallas tails carry them in slots 6..15
 
+    @staticmethod
+    def _is_planar_pair(key: str) -> bool:
+        """State paths stored internally as planar ``[2, ...]`` f32 planes
+        whose CANONICAL (checkpoint) form is complex: the DC mean, cascade
+        stage histories, and late-decimator histories."""
+        leaf = key.rsplit("/", 1)[-1]
+        return key == "dc" or leaf == "late" or (
+            "/cascade/" in key and leaf.isdigit()
+        )
+
     def export_state(self, vec) -> dict:
         """Packed state vector -> named host leaves in the CANONICAL layout
-        (the jnp-mode layout): Pallas ``cascade_p`` tails ``[d, C, 2, 16]``
-        become per-stage complex histories ``cascade/<s>`` ``[C, 10]``, so a
-        checkpoint taken in any execution mode loads into any other
-        (jnp / Pallas / sharded) — the slot-6..15 tails ARE the last-10-
-        input-samples history, in the same time order (pallas/frontend.py)."""
+        (complex histories, as in the original jnp-mode layout — stable
+        across rounds): Pallas ``cascade_p`` tails ``[d, C, 2, 16]`` become
+        per-stage complex histories ``cascade/<s>`` ``[C, 10]``, and the
+        planar ``[2, ...]`` re/im planes the step carries internally
+        (TPU layout, see ``_step_planar``) are recombined to complex64 —
+        so a checkpoint taken in any execution mode loads into any other
+        (jnp / Pallas / sharded)."""
         named = self._svec.export_named(vec)
         out: dict[str, np.ndarray] = {}
         for k, v in named.items():
@@ -444,6 +476,8 @@ class CompiledReceiver:
                         v[s, :, 0, 6 : 6 + self._HB_HIST]
                         + 1j * v[s, :, 1, 6 : 6 + self._HB_HIST]
                     ).astype(np.complex64)
+            elif self._is_planar_pair(k):
+                out[k] = (v[0] + 1j * v[1]).astype(np.complex64)
             else:
                 out[k] = v
         return out
@@ -455,27 +489,37 @@ class CompiledReceiver:
         mode; fails with the offending path on any mismatch."""
         conv = dict(named)
         for key, shape, dtype, off, store in self._svec.spec:
-            if not key.endswith("cascade_p"):
-                continue
-            base = key[: -len("cascade_p")] + "cascade"
-            d, c = shape[0], shape[1]
-            tails = np.zeros(shape, np.float32)
-            for s in range(d):
-                ck = f"{base}/{s}"
-                if ck not in conv:
-                    raise KeyError(
-                        f"checkpoint missing state entry {ck!r} (needed to "
-                        f"rebuild the fused-kernel tails {key!r})"
-                    )
-                h = np.asarray(conv.pop(ck))
-                if h.shape != (c, self._HB_HIST):
+            if key.endswith("cascade_p"):
+                base = key[: -len("cascade_p")] + "cascade"
+                d, c = shape[0], shape[1]
+                tails = np.zeros(shape, np.float32)
+                for s in range(d):
+                    ck = f"{base}/{s}"
+                    if ck not in conv:
+                        raise KeyError(
+                            f"checkpoint missing state entry {ck!r} (needed "
+                            f"to rebuild the fused-kernel tails {key!r})"
+                        )
+                    h = np.asarray(conv.pop(ck))
+                    if h.shape != (c, self._HB_HIST):
+                        raise ValueError(
+                            f"checkpoint entry {ck!r} has shape {h.shape}, "
+                            f"expected {(c, self._HB_HIST)}"
+                        )
+                    tails[s, :, 0, 6 : 6 + self._HB_HIST] = h.real
+                    tails[s, :, 1, 6 : 6 + self._HB_HIST] = h.imag
+                conv[key] = tails
+            elif self._is_planar_pair(key) and key in conv:
+                h = np.asarray(conv[key])
+                want = shape[1:]
+                if h.shape != want:
                     raise ValueError(
-                        f"checkpoint entry {ck!r} has shape {h.shape}, "
-                        f"expected {(c, self._HB_HIST)}"
+                        f"checkpoint entry {key!r} has shape {h.shape}, "
+                        f"expected {want}"
                     )
-                tails[s, :, 0, 6 : 6 + self._HB_HIST] = h.real
-                tails[s, :, 1, 6 : 6 + self._HB_HIST] = h.imag
-            conv[key] = tails
+                conv[key] = np.stack(
+                    [h.real, h.imag]
+                ).astype(np.float32)
         return jax.device_put(self._svec.import_named(conv))
 
     # -------------------------------------------------------------- outputs

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["compress_style1", "compress_style2"]
+__all__ = ["compress_style1", "compress_style1_planar", "compress_style2"]
 
 
 def _to_i8_trunc(v: jax.Array) -> jax.Array:
@@ -35,6 +35,17 @@ def compress_style1(x: jax.Array, scale: float = 1.0) -> jax.Array:
     re = _to_i8_trunc(x.real / np.float32(scale) * 128.0)
     im = _to_i8_trunc(x.imag / np.float32(scale) * 128.0)
     # (signed & 0xF0) in C promotes to int; emulate with int32 bit ops.
+    packed = (re & 0xF0) | ((im & 0xF0) >> 4)
+    return packed.astype(jnp.uint8)
+
+
+def compress_style1_planar(
+    x: tuple[jax.Array, jax.Array], scale: float = 1.0
+) -> jax.Array:
+    """Planar form of :func:`compress_style1` (``x = (re, im)`` f32)."""
+    xr, xi = x
+    re = _to_i8_trunc(xr / np.float32(scale) * 128.0)
+    im = _to_i8_trunc(xi / np.float32(scale) * 128.0)
     packed = (re & 0xF0) | ((im & 0xF0) >> 4)
     return packed.astype(jnp.uint8)
 

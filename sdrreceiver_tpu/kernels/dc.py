@@ -30,7 +30,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["dc_init", "dc_block", "zero_prefix", "decay_pow", "DEFAULT_ALPHA"]
+__all__ = [
+    "dc_init",
+    "dc_init_planar",
+    "dc_block",
+    "dc_block_planar",
+    "zero_prefix",
+    "decay_pow",
+    "DEFAULT_ALPHA",
+]
 
 #: The reference's EMA coefficient (sdrj.cpp:11 ``val = 0.000001``).
 DEFAULT_ALPHA = 1e-6
@@ -102,3 +110,27 @@ def dc_block(
     m = a_n1 * mean + v
     y = x - m
     return m[..., -1], y
+
+
+def dc_init_planar() -> jax.Array:
+    """Zero initial mean as planar ``[2]`` f32 (re, im)."""
+    return jnp.zeros((2,), jnp.float32)
+
+
+def dc_block_planar(
+    mean: jax.Array,
+    x: tuple[jax.Array, jax.Array],
+    alpha: float = DEFAULT_ALPHA,
+) -> tuple[jax.Array, tuple[jax.Array, jax.Array]]:
+    """Planar form of :func:`dc_block`: ``mean [2]`` f32, ``x = (re, im)``
+    each ``[T]`` f32.  Identical recurrence, evaluated on a ``[2, T]`` stack
+    so no complex64 array exists (TPU layout; see kernels/ingest.py)."""
+    x2 = jnp.stack(x)
+    t_len = x2.shape[-1]
+    v = zero_prefix(x2, alpha)
+    a_n1 = jnp.asarray(
+        decay_pow(alpha, np.arange(1, t_len + 1, dtype=np.float64)).astype(np.float32)
+    )
+    m = a_n1[None, :] * mean[:, None] + v
+    y = x2 - m
+    return m[:, -1], (y[0], y[1])

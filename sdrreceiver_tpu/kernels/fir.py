@@ -26,7 +26,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["prepare_taps", "conv_block", "fir_apply", "delay_apply"]
+__all__ = [
+    "prepare_taps",
+    "conv_block",
+    "conv_block_planar",
+    "fir_history_init_planar",
+    "fir_apply",
+    "delay_apply",
+]
 
 
 def prepare_taps(taps, channels: int | None = None) -> jnp.ndarray:
@@ -48,6 +55,96 @@ def prepare_taps(taps, channels: int | None = None) -> jnp.ndarray:
     # constant directly; a device array here would need a device->host fetch
     # at trace time, which remote TPU backends may not support.
     return t[:, ::-1].copy()
+
+
+def _identical_taps(rtaps) -> bool:
+    """True when every channel row carries the same taps (always the case in
+    this app: half-band, Hilbert, audio and late filters are designed once
+    and broadcast across channels in prepare_taps)."""
+    t = rtaps if isinstance(rtaps, np.ndarray) else None
+    if t is None:
+        return False
+    return t.shape[0] == 1 or bool((t == t[0]).all())
+
+
+def _fold_factor(channels: int, t_len: int, stride: int, ntaps: int) -> int:
+    """Largest time-fold F: [C, T] -> C*F rows of length T/F (+halo).
+
+    TPU convs with few channels/batch rows lower pathologically (measured
+    round 3, tools/layout_probe.py: a [1,1,3000] 125-tap grouped conv costs
+    ~500 us; the same FLOPs as 12 batch rows cost ~0).  Folding time into
+    batch rows with an (ntaps-1)-column halo keeps the sublane dimension
+    busy.  Constraints: F divides T, rows stay >= 2*(ntaps-1) and >= 128
+    long (halo overhead + lane utilization), C*F <= 512."""
+    h = ntaps - 1
+    min_l = max(2 * h, 128)
+    best = 1
+    f = 1
+    while True:
+        f += 1
+        if channels * f > 512:
+            break
+        if t_len % f:
+            continue
+        l = t_len // f
+        if l < min_l or l % stride:
+            break
+        best = f
+    return best
+
+
+def _conv_nch(xfull: jax.Array, rtaps, stride: int) -> jax.Array:
+    """Grouped NCH conv of ``xfull [N, C, hist+T]`` -> ``[N, C, T/stride]``,
+    time-folded into batch rows when the taps are channel-identical."""
+    n_, c_, _ = xfull.shape
+    ntaps = rtaps.shape[1]
+    h = ntaps - 1
+    t_len = xfull.shape[-1] - h
+    fold = (
+        _fold_factor(n_ * c_, t_len, stride, ntaps)
+        if _identical_taps(rtaps)
+        else 1
+    )
+    if fold > 1:
+        l = t_len // fold
+        x = xfull[:, :, h:]
+        rows = x.reshape(n_, c_, fold, l)
+        # left halo per row: carried history for row 0, previous row's tail
+        # otherwise (the intra-chip analog of dist/halo's shard exchange)
+        if h:
+            prev = jnp.concatenate(
+                [xfull[:, :, None, :h], rows[:, :, :-1, -h:]], axis=2
+            )
+            ext = jnp.concatenate([prev, rows], axis=-1)
+        else:
+            ext = rows
+        # shift-multiply-accumulate instead of lax.conv: on TPU the conv op
+        # itself costs ~400 us at k=125 on these shapes while the unrolled
+        # FMA ladder fuses to ~0 (tools/layout_probe.py round-3 data);
+        # strided decimation is a (fast) lane-strided slice of the full-rate
+        # accumulator — the extra MACs are noise
+        ext2 = ext.reshape(n_ * c_ * fold, l + h)
+        t = np.asarray(rtaps)[0]
+        acc = t[0] * ext2[:, :l] if ntaps else jnp.zeros_like(ext2[:, :l])
+        for k in range(1, ntaps):
+            acc = acc + t[k] * jax.lax.dynamic_slice_in_dim(ext2, k, l, 1)
+        if stride > 1:
+            acc = acc[:, ::stride]
+        return acc.reshape(n_, c_, t_len // stride)
+    out = jax.lax.conv_general_dilated(
+        xfull,
+        jnp.asarray(rtaps)[:, None, :],
+        window_strides=(stride,),
+        padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        feature_group_count=c_,
+        # true f32 accumulation: TPU DEFAULT precision multiplies in
+        # bfloat16, which caps the whole chain near ~55 dB vs the 60 dB
+        # audio-SNR bound; these convs are HBM-bound so the extra MXU
+        # passes are free
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return out
 
 
 def conv_block(
@@ -84,24 +181,41 @@ def conv_block(
     else:
         lhs = xfull[None]  # [1, C, T+n-1]
 
-    out = jax.lax.conv_general_dilated(
-        lhs,
-        rtaps[:, None, :],  # [C, 1, ntaps]
-        window_strides=(stride,),
-        padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        feature_group_count=chans,
-        # true f32 accumulation: TPU DEFAULT precision multiplies in
-        # bfloat16, which caps the whole chain near ~55 dB vs the 60 dB
-        # audio-SNR bound; these convs are HBM-bound so the extra MXU
-        # passes are free
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    out = _conv_nch(lhs, rtaps, stride)
     if jnp.iscomplexobj(x):
         y = jax.lax.complex(out[0], out[1])
     else:
         y = out[0]
     return new_hist, y
+
+
+def fir_history_init_planar(channels: int, ntaps: int) -> jnp.ndarray:
+    """Zero planar history ``[2, C, ntaps-1]`` f32 (re plane, im plane)."""
+    return jnp.zeros((2, channels, max(ntaps - 1, 0)), jnp.float32)
+
+
+def conv_block_planar(
+    hist: jax.Array,
+    x: tuple[jax.Array, jax.Array],
+    rtaps: jax.Array,
+    stride: int = 1,
+) -> tuple[jax.Array, tuple[jax.Array, jax.Array]]:
+    """Planar-complex form of :func:`conv_block`.
+
+    ``hist``: ``[2, C, ntaps-1]`` f32 (re/im planes); ``x = (re, im)`` each
+    ``[C, T]`` f32.  Same semantics, but no complex64 array ever exists —
+    complex intermediates lower to minor-dim-2 layouts on TPU and dominate
+    the step cost (round-3 honest profile, tools/layout_probe.py)."""
+    chans, ntaps = rtaps.shape
+    xr, xi = x
+    t_len = xr.shape[-1]
+    if t_len % stride:
+        raise ValueError(f"block length {t_len} not divisible by stride {stride}")
+    lhs = jnp.stack([xr, xi], axis=0)  # [2, C, T]
+    xfull = jnp.concatenate([hist, lhs], axis=-1)
+    new_hist = xfull[:, :, t_len:] if ntaps > 1 else hist
+    out = _conv_nch(xfull, rtaps, stride)
+    return new_hist, (out[0], out[1])
 
 
 def fir_apply(hist, x, rtaps, stride: int = 1):

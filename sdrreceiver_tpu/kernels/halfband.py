@@ -18,9 +18,15 @@ import jax
 import jax.numpy as jnp
 
 from . import design
-from .fir import conv_block, prepare_taps
+from .fir import conv_block, conv_block_planar, prepare_taps
 
-__all__ = ["cascade_init", "cascade_apply", "cascade_taps"]
+__all__ = [
+    "cascade_init",
+    "cascade_init_planar",
+    "cascade_apply",
+    "cascade_apply_planar",
+    "cascade_taps",
+]
 
 
 def cascade_taps(channels: int, taps: int = 11) -> jnp.ndarray:
@@ -51,5 +57,29 @@ def cascade_apply(
     y = x
     for hist in hists:
         hist, y = conv_block(hist, y, rtaps, stride=2)
+        new_hists.append(hist)
+    return new_hists, y
+
+
+def cascade_init_planar(
+    channels: int, stages: int, taps: int = 11
+) -> list[jax.Array]:
+    """Zero planar history ``[2, C, taps-1]`` f32 per stage (re/im planes)."""
+    return [
+        jnp.zeros((2, channels, taps - 1), jnp.float32) for _ in range(stages)
+    ]
+
+
+def cascade_apply_planar(
+    hists: list[jax.Array],
+    x: tuple[jax.Array, jax.Array],
+    rtaps: jnp.ndarray,
+) -> tuple[list[jax.Array], tuple[jax.Array, jax.Array]]:
+    """Planar-complex form of :func:`cascade_apply` (the product path — no
+    complex64 intermediates; see kernels/fir.py conv_block_planar)."""
+    new_hists = []
+    y = x
+    for hist in hists:
+        hist, y = conv_block_planar(hist, y, rtaps, stride=2)
         new_hists.append(hist)
     return new_hists, y

@@ -1,10 +1,16 @@
-"""Front-end sample conversion: raw RTL u8 IQ -> complex float baseband.
+"""Front-end sample conversion: raw RTL u8 IQ -> planar float baseband.
 
 Reference: a 256-entry lookup table ``(i - 127) * 1.0`` applied on the USB
 callback thread (jonti/sdr.cpp:43-49,119-129) and the float-pair -> complex
-packing + optional DC removal in sdrj::demodData (sdrj.cpp:266-286).  On TPU
-the "LUT" is just arithmetic on the VPU (a gather would be slower than the
-subtract), fused by XLA into whatever follows.
+packing + optional DC removal in sdrj::demodData (sdrj.cpp:266-286).
+
+TPU layout note (round-3 honest profiling, tools/layout_probe.py): the
+obvious ``reshape(-1, 2)`` + column-slice deinterleave puts 2 in the lane
+dimension and costs ~3.5 ms per 1.536 Ms block — ~50x the HBM roofline.
+Reshaping to ``[rows, 256]`` and LANE-STRIDED slicing (``[:, 0::2]``)
+lowers to an efficient lane shuffle (~70 us measured).  The planar
+functions are the product path; the ``*_to_complex`` wrappers exist for
+API compatibility and tests.
 """
 
 from __future__ import annotations
@@ -13,21 +19,44 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["u8_iq_to_complex", "f32_pairs_to_complex"]
+__all__ = [
+    "u8_iq_to_planar",
+    "f32_pairs_to_planar",
+    "u8_iq_to_complex",
+    "f32_pairs_to_complex",
+]
+
+_LANES = 256  # deinterleave row width (full 128-lane I and Q per row)
+
+
+def _deinterleave(v: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """``[2T]`` interleaved -> (``[T]`` I, ``[T]`` Q) via lane-strided rows."""
+    n = v.shape[0]
+    if n % _LANES == 0:
+        rows = v.reshape(-1, _LANES)
+        return rows[:, 0::2].reshape(-1), rows[:, 1::2].reshape(-1)
+    pairs = v.reshape(-1, 2)  # small/odd blocks: layout cost is negligible
+    return pairs[:, 0], pairs[:, 1]
+
+
+def u8_iq_to_planar(raw: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """``[2T] uint8`` interleaved I,Q -> planar ``([T] f32, [T] f32)``,
+    value (v - 127) — the reference LUT scale exactly (jonti/sdr.cpp:43-49:
+    scale 1.0, offset 127, NOT the textbook 127.5)."""
+    v = raw.astype(jnp.float32) - np.float32(127.0)
+    return _deinterleave(v)
+
+
+def f32_pairs_to_planar(raw: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """``[2T] float32`` interleaved I,Q -> planar pair (sdrj.cpp:271-276)."""
+    return _deinterleave(raw)
 
 
 def u8_iq_to_complex(raw: jax.Array) -> jax.Array:
-    """``[2T] uint8`` interleaved I,Q -> ``[T] complex64``, value (v - 127).
-
-    Matches the reference LUT scale exactly (jonti/sdr.cpp:43-49: scale 1.0,
-    offset 127 — NOT the textbook 127.5).
-    """
-    v = raw.astype(jnp.float32) - np.float32(127.0)
-    pairs = v.reshape(-1, 2)
-    return jax.lax.complex(pairs[:, 0], pairs[:, 1])
+    """Complex-API wrapper over :func:`u8_iq_to_planar`."""
+    return jax.lax.complex(*u8_iq_to_planar(raw))
 
 
 def f32_pairs_to_complex(raw: jax.Array) -> jax.Array:
-    """``[2T] float32`` interleaved I,Q -> ``[T] complex64`` (sdrj.cpp:271-276)."""
-    pairs = raw.reshape(-1, 2)
-    return jax.lax.complex(pairs[:, 0], pairs[:, 1])
+    """Complex-API wrapper over :func:`f32_pairs_to_planar`."""
+    return jax.lax.complex(*f32_pairs_to_planar(raw))

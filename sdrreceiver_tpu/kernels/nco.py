@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["nco_init", "mix_block", "advance_per_block"]
+__all__ = ["nco_init", "mix_block", "mix_block_planar", "advance_per_block"]
 
 _K = 2048  # inner decomposition width; K * Fs must fit uint32
 
@@ -59,7 +59,8 @@ def nco_init(freqs_hz, fs: int) -> dict:
 
 
 @functools.partial(jax.jit, static_argnames=("fs", "t_len", "conj"))
-def _phasor(phase, f, f_k, fs: int, t_len: int, conj: bool):
+def _phasor_planar(phase, f, f_k, fs: int, t_len: int, conj: bool):
+    """(cos, sin) of the exact per-channel phase ramp, planar ``[C, T]``."""
     if (t_len // _K) * (fs - 1) >= 2**32:
         raise ValueError(f"block length {t_len} too large for exact NCO math")
     n = jnp.arange(t_len, dtype=jnp.uint32)
@@ -70,8 +71,12 @@ def _phasor(phase, f, f_k, fs: int, t_len: int, conj: bool):
     ) % fs
     m = (fn_mod + phase[:, None]) % fs
     theta = m.astype(jnp.float32) * np.float32(2.0 * np.pi / fs)
-    ph = jax.lax.complex(jnp.cos(theta), jnp.sin(theta))
-    return jnp.conj(ph) if conj else ph
+    s = jnp.sin(theta)
+    return jnp.cos(theta), (-s if conj else s)
+
+
+def _phasor(phase, f, f_k, fs: int, t_len: int, conj: bool):
+    return jax.lax.complex(*_phasor_planar(phase, f, f_k, fs, t_len, conj))
 
 
 def block_step_mod(state: dict, fs: int, t_len: int) -> jax.Array:
@@ -109,3 +114,28 @@ def mix_block(
     new_state = dict(state)
     new_state["phase"] = advance_per_block(state, fs, t_len)
     return new_state, y
+
+
+def mix_block_planar(
+    state: dict,
+    x: tuple[jax.Array, jax.Array],
+    fs: int,
+    conj: bool = False,
+) -> tuple[dict, tuple[jax.Array, jax.Array]]:
+    """Planar form of :func:`mix_block`: ``x = (re, im)`` f32 arrays,
+    each ``[T]`` or ``[C, T]``; returns the mixed planar pair ``[C, T]``.
+
+    The product path — complex64 intermediates lower to minor-dim-2
+    layouts on TPU and cost ~10-50x roofline (tools/layout_probe.py)."""
+    xr, xi = x
+    t_len = xr.shape[-1]
+    c, s = _phasor_planar(
+        state["phase"], state["f"], state["fK"], fs, t_len, conj
+    )
+    if xr.ndim == 1:
+        xr, xi = xr[None, :], xi[None, :]
+    yr = xr * c - xi * s
+    yi = xr * s + xi * c
+    new_state = dict(state)
+    new_state["phase"] = advance_per_block(state, fs, t_len)
+    return new_state, (yr, yi)

@@ -23,7 +23,7 @@ import numpy as np
 from . import design
 from .fir import conv_block, delay_apply, prepare_taps
 
-__all__ = ["usb_init", "usb_block", "quantize_i16"]
+__all__ = ["usb_init", "usb_block", "usb_block_planar", "quantize_i16"]
 
 
 def usb_init(channels: int, hilbert_len: int = design.HILBERT_LEN) -> dict:
@@ -48,6 +48,20 @@ def usb_block(
     hilb_hist, hq = conv_block(state["hilb_hist"], x.imag, hilb_rtaps)
     usb = delayed - hq
     return {"delay_hist": delay_hist, "hilb_hist": hilb_hist}, usb
+
+
+def usb_block_planar(
+    state: dict,
+    x: tuple[jax.Array, jax.Array],
+    hilb_rtaps: jax.Array,
+) -> tuple[dict, jax.Array]:
+    """Planar form of :func:`usb_block`: ``x = (re, im)`` f32 ``[C, T]``.
+    Both arms are real FIRs already, so this just skips the complex64
+    container (which costs minor-dim-2 relayouts on TPU)."""
+    xr, xi = x
+    delay_hist, delayed = delay_apply(state["delay_hist"], xr)
+    hilb_hist, hq = conv_block(state["hilb_hist"], xi, hilb_rtaps)
+    return {"delay_hist": delay_hist, "hilb_hist": hilb_hist}, delayed - hq
 
 
 def quantize_i16(audio: jax.Array, gains: jax.Array) -> jax.Array:

@@ -48,8 +48,14 @@ class TestHaloKernels:
         )
         got_h, got_y = jax.jit(fn)(hists, xb)
         np.testing.assert_allclose(got_y, ref_y, rtol=1e-6, atol=1e-6)
+        # stage-2+ histories are computed samples (stage-1 outputs); the
+        # shard-local and whole-block conv paths pick different fold/
+        # summation schedules (kernels/fir.py _fold_factor depends on T),
+        # so they match to float ULP, not bit-for-bit
         for a, b in zip(got_h, ref_h):
-            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6
+            )
 
     def test_mix_matches_unsharded(self):
         mesh = make_mesh(n_time=8)

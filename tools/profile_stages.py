@@ -33,68 +33,74 @@ STAGES = ["ingest", "dc", "front", "bucket_mix", "bucket_casc", "usb",
 
 
 def _build_variant(rx, stage: str):
-    """A jittable (state, u8) -> outputs step cut at ``stage``.
+    """A jittable (packed_state_vec, u8) -> outputs step cut at ``stage``.
 
-    Mirrors CompiledReceiver._step_iq / _bucket_step using the receiver's own
-    consts; returns only planar f32 (and the full step's int16) outputs."""
+    Mirrors CompiledReceiver._step_planar / _bucket_step using the
+    receiver's own consts, PLANAR kernels and (if the receiver was built
+    with use_pallas) its fused kernels, so the cuts profile the real
+    product path; returns only planar f32 (and the full step's int16)
+    outputs."""
     import jax
     import jax.numpy as jnp
 
     from sdrreceiver_tpu.kernels import (
         dc, fir, halfband, ingest, nco, ossfft, usbdemod,
     )
-    from sdrreceiver_tpu.utils import planar
 
     plan = rx.plan
     cut = STAGES.index(stage)
 
-    def step(pstate, raw):
-        state = planar.from_planar(pstate)
+    def step(vec, raw):
+        state = rx._svec.unpack(vec)
         outs = {}
-        x = ingest.u8_iq_to_complex(raw)
+        x = ingest.u8_iq_to_planar(raw)
         if cut == 0:
-            return {"re": x.real, "im": x.imag}
+            return {"re": x[0], "im": x[1]}
         if plan.dc_correct:
-            _, x = dc.dc_block(state["dc"], x)
+            _, x = dc.dc_block_planar(state["dc"], x)
         if cut == 1:
-            return {"re": x.real, "im": x.imag}
-        zs = {}
-        for g in plan.groups:
-            gk = f"g{g.index}"
-            if g.direct:
-                zs[gk] = x[None, :]
-                continue
-            gs = state[gk]
-            _, z = nco.mix_block(gs["nco"], x, plan.fs)
-            _, z = halfband.cascade_apply(
-                gs["cascade"], z, rx._consts[f"{gk}/hb"]
-            )
-            zs[gk] = z
+            return {"re": x[0], "im": x[1]}
+        _, _, zs = rx._front(state, x)
         if cut == 2:
-            return {f"{k}_re": v[0].real for k, v in zs.items()} | {
-                f"{k}_im": v[0].imag for k, v in zs.items()
+            return {f"{k}_re": v[0][0] for k, v in zs.items()} | {
+                f"{k}_im": v[1][0] for k, v in zs.items()
             }
         for g in plan.groups:
             gk = f"g{g.index}"
-            z = zs[gk]
+            zr, zi = zs[gk]
             for bi, b in enumerate(g.buckets):
                 bk = f"{gk}/b{bi}"
                 bs = state[gk][f"b{bi}"]
-                _, y = nco.mix_block(bs["nco"], z[0], g.out_rate)
-                if cut >= 4:
-                    _, y = halfband.cascade_apply(
-                        bs["cascade"], y, rx._consts[f"{bk}/hb"]
+                if bk in rx._kernels and cut >= 4:
+                    # fused mix+cascade (cannot be cut mid-kernel)
+                    yr, yi, _ = rx._kernels[bk](
+                        bs["nco"]["phase"].astype(jnp.int32),
+                        bs["cascade_p"], zr, zi,
                     )
+                    y = (yr, yi)
                     if b.late_factor > 1:
-                        _, y = fir.conv_block(
+                        _, y = fir.conv_block_planar(
                             bs["late"], y, rx._consts[f"{bk}/late"],
                             b.late_factor,
                         )
+                else:
+                    _, y = nco.mix_block_planar(
+                        bs["nco"], (zr[0], zi[0]), b.mix_fs(g.out_rate)
+                    )
+                    if cut >= 4:
+                        _, y = halfband.cascade_apply_planar(
+                            bs["cascade"], y, rx._consts[f"{bk}/hb"]
+                        )
+                        if b.late_factor > 1:
+                            _, y = fir.conv_block_planar(
+                                bs["late"], y, rx._consts[f"{bk}/late"],
+                                b.late_factor,
+                            )
                 if cut <= 4:
-                    outs[f"{bk}_re"] = y.real
-                    outs[f"{bk}_im"] = y.imag
+                    outs[f"{bk}_re"] = y[0]
+                    outs[f"{bk}_im"] = y[1]
                     continue
-                _, audio = usbdemod.usb_block(
+                _, audio = usbdemod.usb_block_planar(
                     bs["usb"], y, rx._consts[f"{bk}/hilbert"]
                 )
                 if cut >= 6:
@@ -154,7 +160,8 @@ def _honest_time(make_prog, xs_small, xs_big, reps: int = 3) -> float:
     return (t[n2] - t[n1]) / (n2 - n1)
 
 
-def measure_stage(stage: str, block: int | None, loops: int) -> dict:
+def measure_stage(stage: str, block: int | None, loops: int,
+                  pallas: bool = False) -> dict:
     import functools
 
     import jax
@@ -198,22 +205,16 @@ def measure_stage(stage: str, block: int | None, loops: int) -> dict:
                 return s
             return prog
     else:
-        rx = CompiledReceiver(plan, block)
+        rx = CompiledReceiver(plan, block, use_pallas=pallas and on_tpu,
+                              pallas_interpret=pallas and not on_tpu)
         fn = _build_variant(rx, stage)
-        from sdrreceiver_tpu.utils import planar
-
-        # build the planar state under jit so no complex64 buffer ever
-        # materializes (axon: one materialized complex array breaks every
-        # later device->host transfer of the session)
-        pstate = jax.jit(
-            lambda v: planar.to_planar(rx._svec.unpack(v))
-        )(rx.init_state())
+        vec0 = rx.init_state()
 
         def make_prog(n):
             @jax.jit
             def prog(xs):
                 def b(acc, x):
-                    return acc + _checksum(fn(pstate, x)), None
+                    return acc + _checksum(fn(vec0, x)), None
                 s, _ = jax.lax.scan(b, jnp.zeros((), jnp.float32), xs)
                 return s
             return prog
@@ -230,10 +231,15 @@ def main() -> int:
     ap.add_argument("--stage", default=None, choices=STAGES)
     ap.add_argument("--json", action="store_true")
     ap.add_argument("--no-pallas", action="store_true")
+    ap.add_argument("--pallas", action="store_true",
+                    help="build the variant receiver with the fused Pallas "
+                    "front (cuts then profile the pallas product path)")
     args = ap.parse_args()
 
     if args.stage:
-        print(json.dumps(measure_stage(args.stage, args.block, args.loops)))
+        print(json.dumps(measure_stage(
+            args.stage, args.block, args.loops, pallas=args.pallas
+        )))
         return 0
 
     stages = [s for s in STAGES if not (args.no_pallas and s == "full_pallas")]
@@ -241,6 +247,8 @@ def main() -> int:
     for s in stages:
         cmd = [sys.executable, "-u", __file__, "--stage", s,
                "--loops", str(args.loops)]
+        if args.pallas:
+            cmd.append("--pallas")
         if args.block:
             cmd += ["--block", str(args.block)]
         try:
