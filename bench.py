@@ -8,24 +8,30 @@ fused Pallas front end) and prints ONE JSON line:
     {"metric": ..., "value": Msps, "unit": "Msamples/s/chip",
      "vs_baseline": x, ...}
 
+MEASUREMENT METHOD (changed in round 3): honest fetch-forced differential
+timing (sdrreceiver_tpu/obs/timing.py).  jax.block_until_ready does not
+reliably await execution on the remote-TPU backend, so the chained-dispatch
+loops used by rounds 1-2 (and early round 3) measured the ENQUEUE rate —
+~2000x optimistic on this step.  BENCH_r01/r02's 7,000 Msps/chip and the
+intermediate 45,000/240,000 Msps figures are that fiction; the `value`
+here is real device time per block, validated against a bf16 matmul chain
+that measures 183.7 TFLOP/s = 93% of the chip's public peak.  The honest
+round-3 baseline BEFORE the layout optimizations was 60 Msps/chip
+(25.4 ms/block); see PARITY.md "performance anatomy".
+
 vs_baseline is against BASELINE.json's north star of 1 complex Gsample/s/chip
 through the mix+halfband-decimate+USB-demod chain.  Extra fields:
 
-    xla_msps / pallas_msps   single-block-per-dispatch execution modes
-    burst_*_msps             k-blocks-per-dispatch (lax.scan) offline-
-                             throughput modes (burst_k blocks/call)
-    mode                     which mode produced the headline number
-    step_us                  wall per 1.536 Msample block (0.25 s of signal)
-                             in the headline mode
-    latency_step_us          best single-dispatch (live-path) step time
-    mfu                      model FLOPs/s over the chip's bf16 peak (we run
-                             f32-accumulated convs, so this understates MXU
-                             use by the f32/bf16 pass ratio)
-    hbm_utilization          minimum-traffic bytes/s over HBM peak
-    shard_overhead           step-time overhead of running the SAME plan
-                             through ShardedReceiver on a 1x1 mesh on this
-                             chip (the intra-host term of multi-host eff(N),
-                             docs/SCALING.md)
+    xla_msps / pallas_msps   honest throughput of each execution mode
+                             (headline = the better)
+    step_us                  honest device time per 1.536 Msample block
+                             (0.25 s of signal) in the headline mode
+    mfu / hbm_utilization    model FLOPs (resp. minimum bytes) over
+                             measured time, against chip peaks
+    shard_overhead           honest step-time overhead of the SAME plan
+                             through ShardedReceiver on a 1x1 mesh
+    enqueue_step_us          the old chained-dispatch figure, kept ONLY to
+                             map earlier rounds' fiction onto this scale
 """
 
 from __future__ import annotations
@@ -59,41 +65,20 @@ def _peaks(device) -> tuple[float, float] | None:
     return None
 
 
-def _time_steps(rx, u8, n_iter: int, n_loops: int) -> float:
-    """Best-of-N chained-state loops (amortizes remote-dispatch jitter)."""
+def _enqueue_step_us(rx, u8, n_iter: int) -> float:
+    """The rounds-1/2 measurement (chained dispatch + block_until_ready),
+    kept ONLY as a fiction-scale reference — NOT device time on remote
+    backends (see module docstring)."""
     import jax
 
     state = rx.init_state()
     state, out = rx.step_u8(state, u8)
     jax.block_until_ready(out)
-    best = float("inf")
-    for _ in range(n_loops):
-        t0 = time.perf_counter()
-        for _ in range(n_iter):
-            state, out = rx.step_u8(state, u8)
-        jax.block_until_ready(out)
-        best = min(best, (time.perf_counter() - t0) / n_iter)
-    return best
-
-
-def _time_burst(rx, u8_many, n_iter: int, n_loops: int) -> float:
-    """Per-BLOCK time of the k-blocks-per-dispatch burst path (step_many_u8
-    scans k ingest blocks inside one executable — amortizes the ~25 us
-    remote-dispatch floor that bounds the single-step path, PARITY.md)."""
-    import jax
-
-    k = u8_many.shape[0]
-    state = rx.init_state()
-    state, out = rx.step_many_u8(state, u8_many)
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        state, out = rx.step_u8(state, u8)
     jax.block_until_ready(out)
-    best = float("inf")
-    for _ in range(n_loops):
-        t0 = time.perf_counter()
-        for _ in range(n_iter):
-            state, out = rx.step_many_u8(state, u8_many)
-        jax.block_until_ready(out)
-        best = min(best, (time.perf_counter() - t0) / (n_iter * k))
-    return best
+    return (time.perf_counter() - t0) / n_iter * 1e6
 
 
 def main() -> int:
@@ -104,63 +89,29 @@ def main() -> int:
     from sdrreceiver_tpu.graph import build_plan
     from sdrreceiver_tpu.graph.compiler import CompiledReceiver
     from sdrreceiver_tpu.obs.metrics import plan_cost_model
+    from sdrreceiver_tpu.obs.timing import honest_step_seconds
 
     plan = build_plan(_benchmark_config())
     dev = jax.devices()[0]
     on_tpu = "tpu" in dev.platform.lower() or "TPU" in str(dev)
     block = 1536000 if on_tpu else 98304
-
-    rng = np.random.default_rng(0)
-    # raw u8 IQ — the dongle's native wire format (jonti/sdr.cpp:119-129);
-    # the LUT conversion runs on-device as part of the measured chain
-    u8 = jax.device_put(
-        jnp.asarray(rng.integers(0, 256, 2 * block).astype(np.uint8))
-    )
-    n_iter = 25 if on_tpu else 5
-    n_loops = 4 if on_tpu else 2
+    n_small, n_big = (2, 8) if on_tpu else (2, 5)
 
     rx_xla = CompiledReceiver(plan, block)
     rx_pal = CompiledReceiver(plan, block, use_pallas=on_tpu,
                               pallas_interpret=not on_tpu)
-    dt_xla = _time_steps(rx_xla, u8, n_iter, n_loops)
+    dt_xla = honest_step_seconds(rx_xla, n_small, n_big)
     try:
-        dt_pal = _time_steps(rx_pal, u8, n_iter, n_loops)
+        dt_pal = honest_step_seconds(rx_pal, n_small, n_big)
     except Exception as e:
         print(f"pallas mode failed: {e}", file=sys.stderr)
         dt_pal = float("inf")
 
-    # burst (offline-throughput) mode: k blocks per dispatch via lax.scan —
-    # the single-step path is dispatch-floor-bound (~25 us/call on the remote
-    # runtime vs ~9 us of DSP), so scanning k blocks in one executable is the
-    # throughput-optimal shape; live runs keep single steps for latency.
-    burst_k = 8 if on_tpu else 2
-    u8_many = jax.device_put(
-        jnp.asarray(
-            rng.integers(0, 256, (burst_k, 2 * block)).astype(np.uint8)
-        )
-    )
-    n_iter_b = max(1, n_iter // burst_k)
-    dt_burst_xla = dt_burst_pal = float("inf")
-    try:
-        dt_burst_xla = _time_burst(rx_xla, u8_many, n_iter_b, n_loops)
-    except Exception as e:
-        print(f"burst xla mode failed: {e}", file=sys.stderr)
-    try:
-        dt_burst_pal = _time_burst(rx_pal, u8_many, n_iter_b, n_loops)
-    except Exception as e:
-        print(f"burst pallas mode failed: {e}", file=sys.stderr)
-
-    times = {
-        "xla": dt_xla,
-        "pallas": dt_pal,
-        f"xla+burst{burst_k}": dt_burst_xla,
-        f"pallas+burst{burst_k}": dt_burst_pal,
-    }
-    mode = min(times, key=times.get)
-    dt = times[mode]
+    dt = min(dt_xla, dt_pal)
+    mode = "pallas" if dt_pal < dt_xla else "xla"
     sps = block / dt
 
-    # -- roofline (VERDICT r2 item 2): model FLOPs+bytes over measured time
+    # -- roofline: model FLOPs+bytes over measured time
     cost = plan_cost_model(plan, block)
     # actual ingest is u8 (2 bytes/sample), not complex64
     bytes_min = 2.0 * block + (cost["bytes_per_block"] - 8.0 * block)
@@ -171,54 +122,62 @@ def main() -> int:
         mfu = cost["flops_per_block"] / dt / peak_flops
         hbm_util = bytes_min / dt / peak_bw
 
-    # -- single-chip shard overhead (VERDICT r2 item 3 / docs/SCALING.md):
-    # the same plan through the sharded receiver on a 1x1 mesh of this chip
+    # -- single-chip shard overhead (docs/SCALING.md): the same plan through
+    # the sharded receiver on a 1x1 mesh of this chip, honest method
     shard_overhead = None
     try:
         from sdrreceiver_tpu.dist import ShardedReceiver, make_mesh
 
         mesh = make_mesh(n_time=1, n_chan=1, devices=[dev])
         rx_sh = ShardedReceiver(plan, mesh, block)
-        dt_sh = _time_steps(rx_sh, u8, n_iter, n_loops)
+        dt_sh = honest_step_seconds(rx_sh, n_small, n_big)
         shard_overhead = dt_sh / dt_xla - 1.0
     except Exception as e:
         print(f"shard-overhead measurement failed: {e}", file=sys.stderr)
+
+    # -- the old (fictional on remote backends) enqueue-rate figure, for
+    # mapping rounds 1-2 numbers onto the honest scale
+    enqueue_us = None
+    try:
+        rng = np.random.default_rng(1)
+        u8 = jax.device_put(
+            jnp.asarray(rng.integers(0, 256, 2 * block).astype(np.uint8))
+        )
+        enqueue_us = _enqueue_step_us(
+            rx_pal if mode == "pallas" else rx_xla, u8, 20 if on_tpu else 5
+        )
+    except Exception as e:
+        print(f"enqueue-rate reference failed: {e}", file=sys.stderr)
 
     result = {
         "metric": "complex Msamples/s/chip through mix+decimate+demod chain (27ch sdr_25E-class)",
         "value": round(sps / 1e6, 2),
         "unit": "Msamples/s/chip",
         "vs_baseline": round(sps / 1e9, 4),
+        "method": "fetch-forced differential (honest device time; r1-r2 "
+                  "numbers were enqueue-rate fiction, see bench.py docstring)",
         "mode": mode,
         "xla_msps": round(block / dt_xla / 1e6, 2),
         "pallas_msps": (
             round(block / dt_pal / 1e6, 2) if np.isfinite(dt_pal) else None
         ),
-        "burst_k": burst_k,
-        "burst_xla_msps": (
-            round(block / dt_burst_xla / 1e6, 2)
-            if np.isfinite(dt_burst_xla) else None
-        ),
-        "burst_pallas_msps": (
-            round(block / dt_burst_pal / 1e6, 2)
-            if np.isfinite(dt_burst_pal) else None
-        ),
         "step_us": round(dt * 1e6, 1),
-        "latency_step_us": round(min(dt_xla, dt_pal) * 1e6, 1),
         "mfu": round(mfu, 5) if mfu is not None else None,
         "hbm_utilization": round(hbm_util, 5) if hbm_util is not None else None,
         "model_flops_per_block": cost["flops_per_block"],
         "shard_overhead": (
             round(shard_overhead, 4) if shard_overhead is not None else None
         ),
+        "enqueue_step_us": (
+            round(enqueue_us, 1) if enqueue_us is not None else None
+        ),
     }
     print(json.dumps(result))
     print(
-        f"device={dev} block={block} iters={n_iter} "
+        f"device={dev} block={block} "
         f"realtime_factor={sps / plan.fs:.1f} "
-        f"xla={dt_xla * 1e6:.1f}us pallas={dt_pal * 1e6:.1f}us "
-        f"burst{burst_k}: xla={dt_burst_xla * 1e6:.1f}us/blk "
-        f"pallas={dt_burst_pal * 1e6:.1f}us/blk",
+        f"honest: xla={dt_xla * 1e6:.1f}us pallas={dt_pal * 1e6:.1f}us "
+        f"per block",
         file=sys.stderr,
     )
     return 0
