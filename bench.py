@@ -82,6 +82,7 @@ def _enqueue_step_us(rx, u8, n_iter: int) -> float:
 
 
 def main() -> int:
+    t_start = time.perf_counter()
     import jax
     import jax.numpy as jnp
 
@@ -89,7 +90,11 @@ def main() -> int:
     from sdrreceiver_tpu.graph import build_plan
     from sdrreceiver_tpu.graph.compiler import CompiledReceiver
     from sdrreceiver_tpu.obs.metrics import plan_cost_model
-    from sdrreceiver_tpu.obs.timing import honest_step_seconds
+    from sdrreceiver_tpu.obs.timing import (
+        honest_burst_seconds,
+        honest_step_detail,
+        honest_step_seconds,
+    )
 
     plan = build_plan(_benchmark_config())
     dev = jax.devices()[0]
@@ -98,18 +103,37 @@ def main() -> int:
     n_small, n_big = (2, 8) if on_tpu else (2, 5)
 
     rx_xla = CompiledReceiver(plan, block)
-    rx_pal = CompiledReceiver(plan, block, use_pallas=on_tpu,
-                              pallas_interpret=not on_tpu)
-    dt_xla = honest_step_seconds(rx_xla, n_small, n_big)
+    xla_detail = honest_step_detail(rx_xla, n_small, n_big)
+    dt_xla = xla_detail["seconds"]
+    pal_detail = None
+    rx_pal = None
     try:
-        dt_pal = honest_step_seconds(rx_pal, n_small, n_big)
+        # construction inside the try: a kernel-build failure must fall back
+        # to XLA mode, not abort the benchmark
+        rx_pal = CompiledReceiver(plan, block, use_pallas=on_tpu,
+                                  pallas_interpret=not on_tpu)
+        pal_detail = honest_step_detail(rx_pal, n_small, n_big)
+        dt_pal = pal_detail["seconds"]
     except Exception as e:
         print(f"pallas mode failed: {e}", file=sys.stderr)
         dt_pal = float("inf")
 
     dt = min(dt_xla, dt_pal)
     mode = "pallas" if dt_pal < dt_xla else "xla"
+    detail = pal_detail if mode == "pallas" else xla_detail
     sps = block / dt
+
+    # -- burst (offline-throughput) secondary headline: k blocks per
+    # dispatch through the step_many lax.scan entries
+    burst_sps = None
+    try:
+        rx_b = rx_pal if (mode == "pallas" and rx_pal is not None) else rx_xla
+        dt_burst = honest_burst_seconds(
+            rx_b, k=8, m_small=1, m_big=3 if on_tpu else 2
+        )
+        burst_sps = block / dt_burst
+    except Exception as e:
+        print(f"burst measurement failed: {e}", file=sys.stderr)
 
     # -- roofline: model FLOPs+bytes over measured time
     cost = plan_cost_model(plan, block)
@@ -134,6 +158,45 @@ def main() -> int:
         shard_overhead = dt_sh / dt_xla - 1.0
     except Exception as e:
         print(f"shard-overhead measurement failed: {e}", file=sys.stderr)
+
+    # -- per-stage honest breakdown (ablation cuts of the PALLAS product
+    # path; tools/profile_stages.py method).  Each cut runs in its own
+    # subprocess with a hard timeout so a backend degradation cannot eat
+    # the benchmark; failures leave nulls.
+    stage_us = None
+    if on_tpu:
+        import os
+        import subprocess
+
+        cuts = ["ingest", "dc", "bucket_casc", "usb", "audio"]
+        cum: dict[str, float] = {}
+        tool = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "tools", "profile_stages.py")
+        for s in cuts:
+            if time.perf_counter() - t_start > 25 * 60:
+                print("stage profiling skipped (time budget)", file=sys.stderr)
+                break
+            try:
+                r = subprocess.run(
+                    [sys.executable, "-u", tool, "--stage", s, "--pallas"],
+                    capture_output=True, text=True, timeout=420,
+                    cwd=os.path.dirname(tool) + "/..",
+                )
+                cum[s] = json.loads(r.stdout.strip().splitlines()[-1])["us"]
+            except Exception as e:
+                print(f"stage {s} profile failed: {e}", file=sys.stderr)
+        if cum:
+            stage_us = {}
+            prev = 0.0
+            labels = {"ingest": "ingest", "dc": "dc",
+                      "bucket_casc": "mix+cascades", "usb": "usb_demod",
+                      "audio": "audio_filter"}
+            for s in cuts:
+                if s in cum:
+                    stage_us[labels[s]] = round(cum[s] - prev, 1)
+                    prev = cum[s]
+            if "audio" in cum:
+                stage_us["quantize+rest"] = round(dt * 1e6 - prev, 1)
 
     # -- the old (fictional on remote backends) enqueue-rate figure, for
     # mapping rounds 1-2 numbers onto the honest scale
@@ -162,12 +225,18 @@ def main() -> int:
             round(block / dt_pal / 1e6, 2) if np.isfinite(dt_pal) else None
         ),
         "step_us": round(dt * 1e6, 1),
+        # median-vs-median differential: a large ratio vs step_us flags a
+        # degraded remote-TPU session (the r3 builder-vs-driver 2.2x gap);
+        # step_us (min-based) is the canonical figure
+        "step_us_median": round(detail["seconds_median"] * 1e6, 1),
+        "burst_sps": round(burst_sps / 1e6, 2) if burst_sps else None,
         "mfu": round(mfu, 5) if mfu is not None else None,
         "hbm_utilization": round(hbm_util, 5) if hbm_util is not None else None,
         "model_flops_per_block": cost["flops_per_block"],
         "shard_overhead": (
             round(shard_overhead, 4) if shard_overhead is not None else None
         ),
+        "stage_us": stage_us,
         "enqueue_step_us": (
             round(enqueue_us, 1) if enqueue_us is not None else None
         ),

@@ -87,7 +87,7 @@ def run_pipeline(
     if burst > 1:
         return _run_burst(
             rx, blocks, on_outputs, max_blocks, state, return_state,
-            fetch_filter, burst, metrics,
+            fetch_filter, burst, metrics, raw_u8,
         )
 
     pending: dict[str, jax.Array] | None = None
@@ -154,7 +154,7 @@ def run_pipeline(
 
 def _run_burst(
     rx, blocks, on_outputs, max_blocks, state, return_state,
-    fetch_filter, burst, metrics,
+    fetch_filter, burst, metrics, raw_u8=False,
 ):
     """Burst body of run_pipeline: ``burst`` blocks per device dispatch
     (step_many_* lax.scan entries), same double-buffered overlap — publish
@@ -181,13 +181,21 @@ def _run_burst(
         return sum(on_outputs(rx.split_audio(f)) for f in frames)
 
     def step1(s, b):
-        if b.dtype == jnp.uint8:
+        # raw_u8 forces the u8 entry exactly like the single-block runner
+        # does (a caller relying on it must not get different behavior in
+        # burst mode); otherwise dispatch on block dtype
+        if raw_u8 or b.dtype == jnp.uint8:
             return rx.step_u8(s, b)
         if b.dtype == jnp.float32:
             return rx.step_f32(s, b)
         return rx.step_iq(s, b)
 
     def record(k, t_compute, sent):
+        """Metrics attribution under burst is approximate by construction:
+        the unit's wall time is split evenly over its k blocks, and ``sent``
+        (the PREVIOUS unit's publish count, due to double buffering) is
+        attributed to the current unit's first block.  Totals are exact;
+        per-block latency/messages are estimates when burst > 1."""
         metrics.record_block(t_block, t_compute / k, sent)
         for _ in range(k - 1):
             metrics.record_block(t_block, t_compute / k, 0)
@@ -203,7 +211,7 @@ def _run_burst(
         if len(stack) == burst:
             t0 = time.perf_counter()
             arr = jnp.asarray(np.stack(stack))
-            if arr.dtype == jnp.uint8:
+            if raw_u8 or arr.dtype == jnp.uint8:
                 state, outs = rx.step_many_u8(state, arr)
             elif arr.dtype == jnp.float32:
                 state, outs = rx.step_many_f32(state, arr)

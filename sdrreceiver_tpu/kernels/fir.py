@@ -57,14 +57,18 @@ def prepare_taps(taps, channels: int | None = None) -> jnp.ndarray:
     return t[:, ::-1].copy()
 
 
-def _identical_taps(rtaps) -> bool:
-    """True when every channel row carries the same taps (always the case in
-    this app: half-band, Hilbert, audio and late filters are designed once
-    and broadcast across channels in prepare_taps)."""
-    t = rtaps if isinstance(rtaps, np.ndarray) else None
-    if t is None:
-        return False
-    return t.shape[0] == 1 or bool((t == t[0]).all())
+def _host_taps(rtaps) -> np.ndarray | None:
+    """Concrete host taps as numpy, or None for traced/abstract values.
+
+    prepare_taps returns host numpy on purpose; concrete jax arrays are
+    accepted too (np.asarray fails on tracers, which correctly fall through
+    to the lax.conv path)."""
+    if isinstance(rtaps, np.ndarray):
+        return rtaps
+    try:
+        return np.asarray(rtaps)
+    except Exception:
+        return None
 
 
 def _fold_factor(channels: int, t_len: int, stride: int, ntaps: int) -> int:
@@ -87,47 +91,127 @@ def _fold_factor(channels: int, t_len: int, stride: int, ntaps: int) -> int:
         if t_len % f:
             continue
         l = t_len // f
-        if l < min_l or l % stride:
-            break
+        if l < min_l:
+            break  # l shrinks monotonically in f: no larger f can work
+        if l % stride:
+            continue
         best = f
     return best
 
 
+_BANDED_MIN_TAPS = 16  # below this the unrolled FMA ladder is cheaper
+
+
+def _banded_width(t_len: int, stride: int, ntaps: int) -> int | None:
+    """Pick a time-block width B for the banded-matmul formulation: B must
+    divide T, be a multiple of ``stride``, and sit in [128, 512] (lane-sized
+    MXU operands); closest to 256 wins.  None = no suitable width."""
+    best = None
+    for b in range(128, 513):
+        if t_len % b or b % stride:
+            continue
+        if best is None or abs(b - 256) < abs(best - 256):
+            best = b
+    return best
+
+
+def _banded_matrix(t: np.ndarray, b: int, stride: int) -> np.ndarray:
+    """``M[c, p, m] = rt[c, p - m*stride]`` (0 <= p - m*s <= ntaps-1) — one
+    [B+h, B/stride] banded matrix per channel mapping an extended time row
+    ``[halo(h) | block(B)]`` to its strided conv outputs:
+
+        y[m] = sum_k c[k] x[m*s - k]  ==  sum_p M[p, m] * ext[p]
+
+    (ext column p holds x[row_start - h + p]).  The whole filter becomes a
+    single MXU dot per block row instead of an ntaps-deep op ladder."""
+    c_, ntaps = t.shape
+    h = ntaps - 1
+    m = np.zeros((c_, b + h, b // stride), np.float32)
+    for out in range(b // stride):
+        p0 = out * stride
+        m[:, p0 : p0 + ntaps, out] = t
+    return m
+
+
 def _conv_nch(xfull: jax.Array, rtaps, stride: int) -> jax.Array:
-    """Grouped NCH conv of ``xfull [N, C, hist+T]`` -> ``[N, C, T/stride]``,
-    time-folded into batch rows when the taps are channel-identical."""
+    """Grouped NCH conv of ``xfull [N, C, hist+T]`` -> ``[N, C, T/stride]``.
+
+    Strategy by taps (host constants preferred — prepare_taps returns numpy):
+      * ntaps >= 16 with a suitable block width: banded-matrix MXU dots
+        (one einsum for the whole filter — the 125-tap Hilbert and the
+        per-channel audio banks each cost ~0.2 ms/block/bucket as unrolled
+        ladders or lax.conv in the round-3 honest profile; the dot form
+        replaces hundreds of fused ops with one)
+      * otherwise: time-folded shift-multiply-accumulate ladder (short
+        filters fuse to ~0; per-channel taps become [R, 1] columns)
+      * traced taps: lax.conv_general_dilated fallback
+    """
     n_, c_, _ = xfull.shape
     ntaps = rtaps.shape[1]
     h = ntaps - 1
     t_len = xfull.shape[-1] - h
-    fold = (
-        _fold_factor(n_ * c_, t_len, stride, ntaps)
-        if _identical_taps(rtaps)
-        else 1
-    )
-    if fold > 1:
+    t = _host_taps(rtaps)
+    if t is not None and ntaps >= _BANDED_MIN_TAPS:
+        b = _banded_width(t_len, stride, ntaps)
+        if b is not None:
+            r = t_len // b
+            identical = t.shape[0] == 1 or bool((t == t[0]).all())
+            rows = xfull[:, :, h:].reshape(n_, c_, r, b)
+            if h:
+                prev = jnp.concatenate(
+                    [xfull[:, :, None, :h], rows[:, :, :-1, -h:]], axis=2
+                )
+                ext = jnp.concatenate([prev, rows], axis=-1)
+            else:
+                ext = rows
+            mat = _banded_matrix(t[:1] if identical else t, b, stride)
+            if identical:
+                y = jnp.einsum(
+                    "ncrp,pm->ncrm", ext, jnp.asarray(mat[0]),
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+            else:
+                y = jnp.einsum(
+                    "ncrp,cpm->ncrm", ext, jnp.asarray(mat),
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+            return y.reshape(n_, c_, t_len // stride)
+    if t is not None:
+        identical = t.shape[0] == 1 or bool((t == t[0]).all())
+        fold = _fold_factor(n_ * c_, t_len, stride, ntaps)
         l = t_len // fold
-        x = xfull[:, :, h:]
-        rows = x.reshape(n_, c_, fold, l)
-        # left halo per row: carried history for row 0, previous row's tail
-        # otherwise (the intra-chip analog of dist/halo's shard exchange)
-        if h:
-            prev = jnp.concatenate(
-                [xfull[:, :, None, :h], rows[:, :, :-1, -h:]], axis=2
-            )
-            ext = jnp.concatenate([prev, rows], axis=-1)
+        if fold > 1:
+            x = xfull[:, :, h:]
+            rows = x.reshape(n_, c_, fold, l)
+            # left halo per row: carried history for row 0, previous row's
+            # tail otherwise (intra-chip analog of dist/halo's exchange)
+            if h:
+                prev = jnp.concatenate(
+                    [xfull[:, :, None, :h], rows[:, :, :-1, -h:]], axis=2
+                )
+                ext = jnp.concatenate([prev, rows], axis=-1)
+            else:
+                ext = rows
+            ext2 = ext.reshape(n_ * c_ * fold, l + h)
         else:
-            ext = rows
+            ext2 = xfull.reshape(n_ * c_, t_len + h)
         # shift-multiply-accumulate instead of lax.conv: on TPU the conv op
         # itself costs ~400 us at k=125 on these shapes while the unrolled
         # FMA ladder fuses to ~0 (tools/layout_probe.py round-3 data);
         # strided decimation is a (fast) lane-strided slice of the full-rate
-        # accumulator — the extra MACs are noise
-        ext2 = ext.reshape(n_ * c_ * fold, l + h)
-        t = np.asarray(rtaps)[0]
-        acc = t[0] * ext2[:, :l] if ntaps else jnp.zeros_like(ext2[:, :l])
+        # accumulator — the extra MACs are noise.  Per-channel taps become
+        # per-row [R, 1] coefficient columns (row -> its channel's tap),
+        # which broadcast for free — this keeps padded per-channel audio
+        # banks OFF the pathological small-batch conv path (vfo.cpp:106-124
+        # banks; round-3 weak spot)
+        if identical:
+            coeff = [np.float32(t[0, k]) for k in range(ntaps)]
+        else:
+            row_chan = (np.arange(ext2.shape[0]) // (ext2.shape[0] // (n_ * c_))) % c_
+            coeff = [t[row_chan, k][:, None].astype(np.float32) for k in range(ntaps)]
+        acc = coeff[0] * ext2[:, :l] if ntaps else jnp.zeros_like(ext2[:, :l])
         for k in range(1, ntaps):
-            acc = acc + t[k] * jax.lax.dynamic_slice_in_dim(ext2, k, l, 1)
+            acc = acc + coeff[k] * jax.lax.dynamic_slice_in_dim(ext2, k, l, 1)
         if stride > 1:
             acc = acc[:, ::stride]
         return acc.reshape(n_, c_, t_len // stride)

@@ -30,7 +30,7 @@ import time
 
 import numpy as np
 
-__all__ = ["honest_step_seconds"]
+__all__ = ["honest_step_seconds", "honest_step_detail", "honest_burst_seconds"]
 
 
 def _checksum(outs):
@@ -42,18 +42,25 @@ def _checksum(outs):
     return s
 
 
-def honest_step_seconds(
+def honest_step_detail(
     rx,
     n_small: int = 2,
     n_big: int = 8,
     reps: int = 3,
     seed: int = 0,
-) -> float:
-    """Honest seconds per ingest block of ``rx``'s u8 step.
+) -> dict:
+    """Honest per-block timing of ``rx``'s u8 step, with spread.
 
     Compiles two scan programs (n_small and n_big iterations of the real
     packed-state step over distinct random u8 blocks, outputs reduced to a
-    checksum) and returns the differential per-block time.
+    checksum) and differentials them.  Returns a dict:
+
+      ``seconds``         best estimate (min small vs min big — least noise)
+      ``seconds_median``  median-vs-median differential (session-noise view;
+                          the remote-TPU tunnel degrades in bursts, so a
+                          large median/best ratio flags an unstable session,
+                          the round-3 builder-vs-driver 2.2x mystery)
+      ``raw``             {n: [rep wall times]}
     """
     import jax
     import jax.numpy as jnp
@@ -77,6 +84,69 @@ def honest_step_seconds(
         )
         return s
 
+    raw: dict[int, list[float]] = {}
+    for xs in (xs_small, xs_big):
+        _ = float(prog(xs))  # compile + settle
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            _ = float(prog(xs))
+            times.append(time.perf_counter() - t0)
+        raw[xs.shape[0]] = times
+    dn = n_big - n_small
+    best = (min(raw[n_big]) - min(raw[n_small])) / dn
+    med = (
+        float(np.median(raw[n_big])) - float(np.median(raw[n_small]))
+    ) / dn
+    return {"seconds": best, "seconds_median": med, "raw": raw}
+
+
+def honest_step_seconds(
+    rx,
+    n_small: int = 2,
+    n_big: int = 8,
+    reps: int = 3,
+    seed: int = 0,
+) -> float:
+    """Honest seconds per ingest block of ``rx``'s u8 step (best estimate;
+    see :func:`honest_step_detail` for the spread)."""
+    return honest_step_detail(rx, n_small, n_big, reps, seed)["seconds"]
+
+
+def honest_burst_seconds(
+    rx,
+    k: int = 8,
+    m_small: int = 1,
+    m_big: int = 3,
+    reps: int = 3,
+    seed: int = 0,
+) -> float:
+    """Honest seconds per block through the BURST entry (``step_many_u8``):
+    each scanned iteration dispatches one [k, 2T] stack through the k-block
+    lax.scan executable — the offline-throughput path (core/runtime.py
+    burst mode), where the per-dispatch floor is paid once per k blocks."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    xs_big = jax.device_put(jnp.asarray(
+        rng.integers(0, 256, (m_big, k, 2 * rx.block)).astype(np.uint8)
+    ))
+    xs_small = xs_big[:m_small]
+    body = rx._vec_many(rx._step_u8)
+    vec0 = rx.init_state()
+
+    @jax.jit
+    def prog(stacks):
+        def b(carry, stack):
+            vec, acc = carry
+            vec2, outs = body(vec, stack)
+            return (vec2, acc + _checksum(outs)), None
+        (_, s), _ = jax.lax.scan(
+            b, (vec0, jnp.zeros((), jnp.float32)), stacks
+        )
+        return s
+
     t = {}
     for xs in (xs_small, xs_big):
         _ = float(prog(xs))  # compile + settle
@@ -86,4 +156,4 @@ def honest_step_seconds(
             _ = float(prog(xs))
             best = min(best, time.perf_counter() - t0)
         t[xs.shape[0]] = best
-    return (t[n_big] - t[n_small]) / (n_big - n_small)
+    return (t[m_big] - t[m_small]) / ((m_big - m_small) * k)

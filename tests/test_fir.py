@@ -70,6 +70,35 @@ class TestConvBlock:
         y_chunked = stream.concat_outputs(outs)
         np.testing.assert_allclose(y_chunked, y_whole, rtol=1e-5, atol=1e-6)
 
+    @pytest.mark.parametrize("stride", [1, 2, 5])
+    def test_banded_matmul_strategy_matches_numpy(self, rng, stride):
+        """Long filters (ntaps >= 16) with a block width in [128, 512] take
+        the banded-matrix MXU path; per-channel taps and strides included.
+        T=3000 admits widths {150..500}, so this pins the banded strategy
+        itself (small-T tests fall through to the FMA ladder)."""
+        c0 = design.hilbert()  # 125 taps
+        c1 = np.zeros_like(c0)
+        c1[3] = 1.0  # pure 3-sample delay channel
+        t = np.stack([c0, c1])
+        assert fir._banded_width(3000, stride, t.shape[1]) is not None
+        x = rng.standard_normal((2, 3000)).astype(np.float32)
+        rt = fir.prepare_taps(t)
+        hist = stream.fir_history_init(2, t.shape[1], jnp.float32)
+        _, y = fir.conv_block(hist, jnp.asarray(x), rt, stride=stride)
+        for ci in range(2):
+            np.testing.assert_allclose(
+                y[ci], np_causal_fir(x[ci], t[ci], stride=stride),
+                rtol=1e-4, atol=1e-4,
+            )
+        # channel-identical variant (scalar-coefficient matrix path)
+        rt1 = fir.prepare_taps(c0, channels=2)
+        _, y1 = fir.conv_block(hist, jnp.asarray(x), rt1, stride=stride)
+        for ci in range(2):
+            np.testing.assert_allclose(
+                y1[ci], np_causal_fir(x[ci], c0, stride=stride),
+                rtol=1e-4, atol=1e-4,
+            )
+
     def test_stride_requires_divisible_block(self):
         rt = fir.prepare_taps(design.half_band(11))
         hist = stream.fir_history_init(1, 11)
