@@ -395,7 +395,10 @@ def cmd_run(args) -> int:
         }
 
     if cfg.remote_rtl and not args.iq:
-        client = rtltcp.RtlTcpClient(cfg.remote_rtl)
+        # elastic client: stream loss reconnects with backoff and replays
+        # the configure sequence + last retune (the reference stays alive
+        # but needs a manual restart, sdrj.cpp:107-123)
+        client = rtltcp.ElasticRtlTcp(cfg.remote_rtl)
         print(
             f"rtl_tcp connected: tuner type {client.greeting.tuner_type}, "
             f"{client.greeting.tuner_gain_count} gains",
@@ -458,6 +461,7 @@ def cmd_run(args) -> int:
                 summary["ring"] = ring.stats
             except Exception:
                 pass
+            summary["rtl_tcp"] = dict(client.stats)
             if args._multihost:
                 summary["multihost"] = args._multihost
             print(json.dumps(summary))

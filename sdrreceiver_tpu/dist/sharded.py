@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..graph.compiler import CompiledReceiver
@@ -40,20 +41,23 @@ class ShardedReceiver(CompiledReceiver):
         **kwargs,
     ):
         """Accepts every CompiledReceiver option (``emit_taps``,
-        ``ossfft_min_taps``, ``tap_samples``, ...) except ``use_pallas``:
-        Pallas kernels are not SPMD-partitionable without a custom
-        partitioning rule, so they are rejected loudly rather than silently
-        gathered onto one device."""
-        if kwargs.get("use_pallas"):
-            raise ValueError(
-                "use_pallas is not supported under a device mesh yet "
-                "(pallas_call has no SPMD partitioning rule here)"
-            )
+        ``ossfft_min_taps``, ``tap_samples``, ...).
+
+        ``use_pallas`` runs each GROUP's fused mix+cascade Pallas kernel
+        per-shard inside the shard_map (no SPMD partitioning rule needed:
+        every shard prepends a ``warmup_len`` input halo from its left
+        neighbor — shard 0 reads the carried ``xtail`` state — runs the
+        kernel with zero stage tails, and drops the warm-up outputs, which
+        are exactly the samples the halo determines).  Groups whose shard
+        shapes the kernel does not support fall back to the jnp halo path
+        per group; bucket pipelines stay on the XLA path (sharded over the
+        chan axis by the SPMD partitioner)."""
         self.mesh = mesh
         if TIME_AXIS not in mesh.axis_names:
             raise ValueError(f"mesh needs a {TIME_AXIS!r} axis")
         self.n_time = mesh.shape[TIME_AXIS]
         self.n_chan = mesh.shape.get(CHAN_AXIS, 1)
+        self._shard_kernels: dict[str, tuple] = {}
         super().__init__(plan, block_samples, **kwargs)
         need = plan.block_divisor() * self.n_time
         if self.block % need:
@@ -61,6 +65,36 @@ class ShardedReceiver(CompiledReceiver):
                 f"block of {self.block} samples must be a multiple of "
                 f"divisor*n_time = {need}"
             )
+        if self.use_pallas:
+            self._build_shard_kernels()
+
+    def _fused(self, key, channels, stages, fs, freqs, t_len, shared_input=False):
+        """Base-class fused kernels never engage under a mesh: the front is
+        replaced by the per-shard kernels below, and a pallas_call inside
+        the SPMD-partitioned bucket path would be gathered onto one device."""
+        return None
+
+    def _build_shard_kernels(self) -> None:
+        from ..pallas.frontend import MixCascadeKernel, supported, warmup_len
+
+        t_local = self.block // self.n_time
+        for g in self.plan.groups:
+            if g.direct or g.stages < 1:
+                continue
+            p = warmup_len(g.stages)
+            if t_local < p or not supported(
+                self.plan.fs, g.stages, t_local + p
+            ):
+                continue
+            kern = MixCascadeKernel(
+                1,
+                g.stages,
+                self.plan.fs,
+                np.asarray([g.mixer_freq], dtype=np.int64),
+                t_local + p,
+                interpret=self.pallas_interpret,
+            )
+            self._shard_kernels[f"g{g.index}"] = (kern, p)
 
     # -- state boundary: pin everything replicated ---------------------------
     def _vec(self, step):
@@ -107,6 +141,8 @@ class ShardedReceiver(CompiledReceiver):
         t_local = self.block // self.n_time
 
         front_state = {"dc": state["dc"]}
+        if "xtail" in state:
+            front_state["xtail"] = state["xtail"]
         for g in plan.groups:
             gk = f"g{g.index}"
             if g.direct:
@@ -117,7 +153,12 @@ class ShardedReceiver(CompiledReceiver):
                     "cascade": state[gk]["cascade"],
                 }
 
+        fs = plan.fs
+        n_time = self.n_time
+
         def local_fn(st: dict, xr_local: jax.Array, xi_local: jax.Array):
+            from ..kernels import nco as nco_mod
+
             x_local = jax.lax.complex(xr_local, xi_local)
             new_st: dict = {}
             if plan.dc_correct:
@@ -128,6 +169,8 @@ class ShardedReceiver(CompiledReceiver):
                 new_st["dc"] = jnp.stack([mean_c.real, mean_c.imag])
             else:
                 new_st["dc"], y = st["dc"], x_local
+            if "xtail" in st:
+                new_st["xtail"] = st["xtail"]  # replaced globally per block
             zs: dict[str, tuple[jax.Array, jax.Array]] = {}
             for g in plan.groups:
                 gk = f"g{g.index}"
@@ -136,6 +179,59 @@ class ShardedReceiver(CompiledReceiver):
                     new_st[gk] = st[gk]
                     continue
                 gs = st[gk]
+                if gk in self._shard_kernels:
+                    # per-shard fused Pallas front: [warmup halo | shard]
+                    # through the kernel with ZERO stage tails; the halo
+                    # (left neighbor's tail, or the carried xtail on shard
+                    # 0) washes the zero state out exactly, and the warm-up
+                    # outputs are dropped (pallas.frontend.warmup_len)
+                    kern, p = self._shard_kernels[gk]
+                    d = g.stages
+                    idx = jax.lax.axis_index(TIME_AXIS)
+                    halo_c = halo.right_halo(y, p, TIME_AXIS)
+                    xt = st["xtail"]
+                    carried = jax.lax.complex(xt[0, -p:], xt[1, -p:])
+                    left = jnp.where(idx == 0, carried, halo_c)
+                    ext = jnp.concatenate([left, y])
+                    nco_state = gs["nco"]
+                    step = nco_mod.block_step_mod(nco_state, fs, t_local)
+                    pmod = nco_mod.block_step_mod(nco_state, fs, p)
+                    iu = idx.astype(jnp.uint32)
+                    ph = (
+                        nco_state["phase"]
+                        + (iu * step) % np.uint32(fs)
+                        + (np.uint32(fs) - pmod)
+                    ) % np.uint32(fs)
+                    yr, yi, hbp = kern(
+                        ph.astype(jnp.int32),
+                        jnp.zeros((d, 1, 2, 16), jnp.float32),
+                        ext.real[None, :],
+                        ext.imag[None, :],
+                    )
+                    zs[gk] = (yr[:, p >> d :], yi[:, p >> d :])
+                    new_nco = dict(nco_state)
+                    new_nco["phase"] = (
+                        nco_state["phase"]
+                        + (jnp.uint32(n_time) * step) % np.uint32(fs)
+                    ) % np.uint32(fs)
+                    # the kernel's reported stage tails ARE the canonical
+                    # cascade histories (last 10 inputs per stage, slots
+                    # 6..15) — take the last shard's, so checkpoints stay
+                    # mode-portable
+                    hbp_last = halo._bcast_from_last(hbp, TIME_AXIS)
+                    new_st[gk] = {
+                        "nco": new_nco,
+                        "cascade": [
+                            jnp.stack(
+                                [
+                                    hbp_last[s, :, 0, 6:16],
+                                    hbp_last[s, :, 1, 6:16],
+                                ]
+                            )
+                            for s in range(d)
+                        ],
+                    }
+                    continue
                 nco_state, z = halo.timeshard_mix_local(
                     gs["nco"], y, plan.fs, t_local, TIME_AXIS
                 )

@@ -234,9 +234,29 @@ class CompiledReceiver:
         of the session (see utils/planar)."""
         return jax.jit(lambda: self._svec.pack(self._init_state()))()
 
+    def xtail_len(self) -> int:
+        """Length of the carried post-DC input tail ``state["xtail"]``.
+
+        Every execution mode carries the last this-many post-DC input
+        samples so a checkpoint taken ANYWHERE can resume into the
+        sharded-Pallas front, whose time shards warm up zero-state fused
+        kernels from exactly this tail (pallas.frontend.warmup_len;
+        dist/sharded.py).  0 = no cascaded groups, leaf absent."""
+        from ..pallas.frontend import warmup_len
+
+        ps = [
+            warmup_len(g.stages)
+            for g in self.plan.groups
+            if not g.direct and g.stages >= 1
+        ]
+        p = max(ps, default=0)
+        return p if 0 < p <= self.block else 0
+
     def _init_state(self) -> dict:
         plan = self.plan
         state: dict[str, Any] = {"dc": dc.dc_init_planar()}
+        if self.xtail_len():
+            state["xtail"] = jnp.zeros((2, self.xtail_len()), jnp.float32)
         for g in plan.groups:
             gs: dict[str, Any] = {}
             gk = f"g{g.index}"
@@ -424,6 +444,9 @@ class CompiledReceiver:
         outputs: dict[str, jax.Array] = {}
 
         new_state, x, zs = self._front(state, x)
+        if self.xtail_len():
+            p = self.xtail_len()
+            new_state["xtail"] = jnp.stack([x[0][-p:], x[1][-p:]])
         if "main" in self.emit_taps:
             outputs["tap/main"] = self._tap(x)
 
@@ -453,7 +476,7 @@ class CompiledReceiver:
         whose CANONICAL (checkpoint) form is complex: the DC mean, cascade
         stage histories, and late-decimator histories."""
         leaf = key.rsplit("/", 1)[-1]
-        return key == "dc" or leaf == "late" or (
+        return key in ("dc", "xtail") or leaf == "late" or (
             "/cascade/" in key and leaf.isdigit()
         )
 
@@ -488,6 +511,12 @@ class CompiledReceiver:
         The inverse of :meth:`export_state` for THIS receiver's execution
         mode; fails with the offending path on any mismatch."""
         conv = dict(named)
+        if "xtail" not in conv and self.xtail_len():
+            # checkpoints from before the xtail leaf existed: resume with a
+            # zero tail — only effect is a <= xtail_len-sample warm-up
+            # transient in the sharded-Pallas front's first block (other
+            # modes never read it)
+            conv["xtail"] = np.zeros(self.xtail_len(), np.complex64)
         for key, shape, dtype, off, store in self._svec.spec:
             if key.endswith("cascade_p"):
                 base = key[: -len("cascade_p")] + "cascade"

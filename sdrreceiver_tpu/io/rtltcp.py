@@ -19,12 +19,13 @@ from __future__ import annotations
 
 import socket
 import struct
+import time
 from dataclasses import dataclass
 from typing import Iterator
 
 import numpy as np
 
-__all__ = ["RtlTcpClient", "Greeting", "CMD"]
+__all__ = ["RtlTcpClient", "ElasticRtlTcp", "Greeting", "CMD"]
 
 
 class CMD:
@@ -107,3 +108,104 @@ class RtlTcpClient:
             self._sock.close()
         except OSError:
             pass
+
+
+class ElasticRtlTcp:
+    """Self-healing rtl_tcp client: reconnect with exponential backoff.
+
+    The reference keeps its process alive on stream loss but requires a
+    manual restart (sdrj.cpp:107-123); a long-running service needs the
+    stream to come back by itself.  This wrapper owns the connection
+    lifecycle: on ANY stream error it closes, reconnects with capped
+    exponential backoff, replays the configure sequence (including the most
+    recent retune), and resumes yielding fixed-size blocks — every yielded
+    block is exactly ``n_bytes``, so a mid-block drop can never corrupt
+    frame alignment downstream (partial bytes are discarded, like the
+    reference dropping whole ring buffers, jonti/sdr.cpp:104-111).
+
+    The FIRST connect fails loudly (a wrong address is a config error, not
+    an outage).  ``stats`` counts reconnects/dropped blocks for run
+    summaries.
+    """
+
+    def __init__(
+        self,
+        address: str,
+        timeout: float = 5.0,
+        initial_backoff: float = 0.5,
+        max_backoff: float = 8.0,
+        max_retries: int | None = None,
+        sleep=time.sleep,
+    ):
+        self.address = address
+        self.timeout = timeout
+        self.initial_backoff = float(initial_backoff)
+        self.max_backoff = float(max_backoff)
+        self.max_retries = max_retries
+        self._sleep = sleep
+        self._config: tuple[int, int, int, bool] | None = None
+        self._freq: int | None = None
+        self.stats = {"reconnects": 0, "connect_failures": 0}
+        self._closed = False
+        self._client = RtlTcpClient(address, timeout)  # loud on first failure
+
+    @property
+    def greeting(self) -> Greeting:
+        return self._client.greeting
+
+    def configure(
+        self,
+        sample_rate: int,
+        frequency: int,
+        gain_index: int = 0,
+        agc: bool = False,
+    ) -> None:
+        self._config = (sample_rate, frequency, gain_index, agc)
+        self._client.configure(sample_rate, frequency, gain_index, agc)
+
+    def set_center_freq(self, frequency: int) -> None:
+        """Retune; remembered so a reconnect replays it.  A send failure is
+        swallowed — the reconnect path will re-apply the frequency."""
+        self._freq = int(frequency)
+        try:
+            self._client.set_center_freq(frequency)
+        except (OSError, IOError):
+            pass
+
+    def _reconnect(self) -> None:
+        self.stats["reconnects"] += 1
+        self._client.close()
+        backoff = self.initial_backoff
+        attempt = 0
+        while True:
+            try:
+                self._client = RtlTcpClient(self.address, self.timeout)
+                if self._config is not None:
+                    self._client.configure(*self._config)
+                if self._freq is not None:
+                    self._client.set_center_freq(self._freq)
+                return
+            except (OSError, IOError):
+                self.stats["connect_failures"] += 1
+                attempt += 1
+                if self.max_retries is not None and attempt > self.max_retries:
+                    raise
+                self._sleep(backoff)
+                backoff = min(backoff * 2.0, self.max_backoff)
+
+    def read_block(self, n_bytes: int) -> np.ndarray:
+        while True:
+            try:
+                return self._client.read_block(n_bytes)
+            except (OSError, IOError):
+                if self._closed:
+                    raise  # deliberate shutdown, not an outage
+                self._reconnect()
+
+    def iter_blocks(self, n_bytes: int) -> Iterator[np.ndarray]:
+        while True:
+            yield self.read_block(n_bytes)
+
+    def close(self) -> None:
+        self._closed = True
+        self._client.close()

@@ -115,22 +115,35 @@ def _banded_width(t_len: int, stride: int, ntaps: int) -> int | None:
     return best
 
 
-def _banded_matrix(t: np.ndarray, b: int, stride: int) -> np.ndarray:
-    """``M[c, p, m] = rt[c, p - m*stride]`` (0 <= p - m*s <= ntaps-1) — one
-    [B+h, B/stride] banded matrix per channel mapping an extended time row
-    ``[halo(h) | block(B)]`` to its strided conv outputs:
+def _banded_pair(t: np.ndarray, b: int, stride: int):
+    """Per-channel (Mz [C, B, B/s], Mt [C, B, B/s]) banded matrices: with
+    time cut into B-wide rows, a strided causal conv is
 
-        y[m] = sum_k c[k] x[m*s - k]  ==  sum_p M[p, m] * ext[p]
+        y[row, m] = rows[row] @ Mz[:, m]  +  rows[row-1] @ Mt[:, m]
 
-    (ext column p holds x[row_start - h + p]).  The whole filter becomes a
-    single MXU dot per block row instead of an ntaps-deep op ladder."""
+    (row -1 = the carried history, right-aligned into a zero-padded B-row).
+    Column j of a row holds x[row_start + j]; output m reads
+    x[row_start + m*s - h .. row_start + m*s], so taps whose input index
+    falls before the row start land in Mt at column B + (m*s - h + q).
+
+    Same two-dot structure as the fused Pallas front end's (Mz, Mt)
+    (pallas/frontend.py) — chosen over a [halo | row] concat formulation
+    because lane-misaligned concats relayout the whole array on TPU
+    (measured: the concat form cost ~1.5 ms/block across the three USB
+    Hilbert instances; this form is pure row-aligned ops + MXU dots)."""
     c_, ntaps = t.shape
     h = ntaps - 1
-    m = np.zeros((c_, b + h, b // stride), np.float32)
-    for out in range(b // stride):
-        p0 = out * stride
-        m[:, p0 : p0 + ntaps, out] = t
-    return m
+    bo = b // stride
+    mz = np.zeros((c_, b, bo), np.float32)
+    mt = np.zeros((c_, b, bo), np.float32)
+    for m in range(bo):
+        for q in range(ntaps):
+            j = m * stride - h + q
+            if j >= 0:
+                mz[:, j, m] = t[:, q]
+            else:
+                mt[:, b + j, m] = t[:, q]
+    return mz, mt
 
 
 def _conv_nch(xfull: jax.Array, rtaps, stride: int) -> jax.Array:
@@ -153,27 +166,30 @@ def _conv_nch(xfull: jax.Array, rtaps, stride: int) -> jax.Array:
     t = _host_taps(rtaps)
     if t is not None and ntaps >= _BANDED_MIN_TAPS:
         b = _banded_width(t_len, stride, ntaps)
-        if b is not None:
+        if b is not None and b > h:
             r = t_len // b
             identical = t.shape[0] == 1 or bool((t == t[0]).all())
             rows = xfull[:, :, h:].reshape(n_, c_, r, b)
-            if h:
-                prev = jnp.concatenate(
-                    [xfull[:, :, None, :h], rows[:, :, :-1, -h:]], axis=2
-                )
-                ext = jnp.concatenate([prev, rows], axis=-1)
-            else:
-                ext = rows
-            mat = _banded_matrix(t[:1] if identical else t, b, stride)
+            # "previous row" operand: carried history right-aligned into a
+            # zero-padded B-wide row 0, then the rows shifted down by one —
+            # row-axis ops only, no lane-misaligned concat
+            hist_row = jnp.pad(xfull[:, :, :h], [(0, 0), (0, 0), (b - h, 0)])
+            prev = jnp.concatenate(
+                [hist_row[:, :, None, :], rows[:, :, :-1, :]], axis=2
+            )
+            mz, mt = _banded_pair(t[:1] if identical else t, b, stride)
+            hp = jax.lax.Precision.HIGHEST
             if identical:
                 y = jnp.einsum(
-                    "ncrp,pm->ncrm", ext, jnp.asarray(mat[0]),
-                    precision=jax.lax.Precision.HIGHEST,
+                    "ncrj,jm->ncrm", rows, jnp.asarray(mz[0]), precision=hp
+                ) + jnp.einsum(
+                    "ncrj,jm->ncrm", prev, jnp.asarray(mt[0]), precision=hp
                 )
             else:
                 y = jnp.einsum(
-                    "ncrp,cpm->ncrm", ext, jnp.asarray(mat),
-                    precision=jax.lax.Precision.HIGHEST,
+                    "ncrj,cjm->ncrm", rows, jnp.asarray(mz), precision=hp
+                ) + jnp.einsum(
+                    "ncrj,cjm->ncrm", prev, jnp.asarray(mt), precision=hp
                 )
             return y.reshape(n_, c_, t_len // stride)
     if t is not None:

@@ -57,14 +57,17 @@ def oss_prepare(taps, channels: int | None = None, nfft: int | None = None):
     return {
         # host numpy on purpose — embeds as an IR constant at trace time
         "H": np.fft.fft(hpad, axis=-1).astype(np.complex64),
+        # half-spectrum bank for the real path (kiss_fastfir's _real
+        # variant, kiss_fft130/kiss_fastfir_real.h): real inputs run
+        # rfft/irfft at half the FFT work of the complex path
+        "Hr": np.fft.rfft(hpad, axis=-1).astype(np.complex64),
         "ntaps": ntaps,
         "nfft": nfft,
     }
 
 
-@functools.partial(jax.jit, static_argnames=("ntaps", "nfft", "stride"))
-def _oss_core(xfull, H, ntaps: int, nfft: int, stride: int):
-    chans = xfull.shape[0]
+def _frame(xfull, ntaps: int, nfft: int):
+    """[C, hist+T] -> overlapping segments [C, nseg, nfft] + t_out."""
     t_out = xfull.shape[1] - (ntaps - 1)
     hop = nfft - ntaps + 1
     nseg = -(-t_out // hop)  # ceil
@@ -72,11 +75,31 @@ def _oss_core(xfull, H, ntaps: int, nfft: int, stride: int):
     xp = jnp.pad(xfull, ((0, 0), (0, pad)))
     # frame: segment s covers xp[s*hop : s*hop + nfft]
     idx = (jnp.arange(nseg)[:, None] * hop) + jnp.arange(nfft)[None, :]
-    segs = xp[:, idx]  # [C, nseg, nfft]
+    return xp[:, idx], t_out, hop, nseg
+
+
+@functools.partial(jax.jit, static_argnames=("ntaps", "nfft", "stride"))
+def _oss_core(xfull, H, ntaps: int, nfft: int, stride: int):
+    chans = xfull.shape[0]
+    segs, t_out, hop, nseg = _frame(xfull, ntaps, nfft)
     spec = jnp.fft.fft(segs, axis=-1) * H[:, None, :]
     conv = jnp.fft.ifft(spec, axis=-1)
     # valid (fully-overlapped) outputs of segment s are positions
     # ntaps-1 .. nfft-1  == stream outputs s*hop .. s*hop + hop - 1
+    good = conv[:, :, ntaps - 1 :].reshape(chans, nseg * hop)[:, :t_out]
+    return good[:, ::stride]
+
+
+@functools.partial(jax.jit, static_argnames=("ntaps", "nfft", "stride"))
+def _oss_core_real(xfull, Hr, ntaps: int, nfft: int, stride: int):
+    """Real-signal overlap-save via rfft/irfft — half the FFT work and no
+    complex container for the time-domain data (the USB audio path is real;
+    kiss_fastfir's dedicated real variant, kiss_fft130/kiss_fastfir.c with
+    REAL_FASTFIR, exists for the same reason)."""
+    chans = xfull.shape[0]
+    segs, t_out, hop, nseg = _frame(xfull, ntaps, nfft)
+    spec = jnp.fft.rfft(segs, axis=-1) * Hr[:, None, :]
+    conv = jnp.fft.irfft(spec, n=nfft, axis=-1)
     good = conv[:, :, ntaps - 1 :].reshape(chans, nseg * hop)[:, :t_out]
     return good[:, ::stride]
 
@@ -95,8 +118,12 @@ def oss_block(hist, x, filt: dict, stride: int = 1):
     # history keeps the INPUT dtype (real stays real across steps)
     new_hist = xfull[:, t_len:] if ntaps > 1 else hist
     if not jnp.iscomplexobj(xfull):
-        y = _oss_core(xfull.astype(jnp.complex64), filt["H"], ntaps, nfft, stride)
-        y = y.real
+        if "Hr" in filt:
+            y = _oss_core_real(xfull, filt["Hr"], ntaps, nfft, stride)
+        else:  # older prepared dicts without the half-spectrum bank
+            y = _oss_core(
+                xfull.astype(jnp.complex64), filt["H"], ntaps, nfft, stride
+            ).real
     else:
         y = _oss_core(xfull, filt["H"], ntaps, nfft, stride)
     return new_hist, y

@@ -41,28 +41,66 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..kernels import design
 
-__all__ = ["MixCascadeKernel", "supported"]
+__all__ = ["MixCascadeKernel", "supported", "warmup_len"]
 
-LANES = 256  # input samples per row
+LANES = 256  # default input samples per row
 _HIST = 10  # half-band history (11 taps - 1)
+
+
+def _tiling(t_len: int, stages: int) -> tuple[int, int] | None:
+    """Pick (lanes, rows) for the time tiling ``[rows, lanes]`` per tile.
+
+    Mosaic requires row-tile counts divisible by 8 unless the tile covers
+    the whole row axis, so r is either an 8-multiple divisor of rows_total
+    (preferring ~240-512: amortizes per-grid-step overhead while staying
+    VMEM-comfortable) or all of it.  Measured round 4: narrower lanes (128)
+    with more tiles ran ~4x SLOWER (tiny late-stage lane dims + per-step
+    overhead), and a full single tile of [1500, 256] is fine — so 256 lanes
+    is used unconditionally."""
+    if t_len % LANES or (LANES >> stages) < 1:
+        return None
+    rows_total = t_len // LANES
+    for cand in (512, 480, 448, 400, 384, 320, 256, 240, 192, 128, 96, 64,
+                 48, 32, 16, 8):
+        if rows_total % cand == 0:
+            return LANES, cand
+    return LANES, rows_total
+
+
+def warmup_len(stages: int) -> int:
+    """Input-halo length that washes a zero-initialized ``stages``-deep
+    half-band cascade: stage s's 10-sample history is determined by the last
+    ``10 * (2^{s+1} - 1)`` input samples, so after ``10 * (2^d - 1)`` inputs
+    every output (and every stage tail) is independent of the initial
+    histories.  Rounded up to a LANES multiple so a [halo | shard] extended
+    block keeps the kernel's tiling constraints.  This is what lets a
+    time-shard run the fused kernel with zero state: prepend this many
+    neighbor samples, drop ``warmup >> stages`` outputs (dist/sharded.py)."""
+    need = 10 * ((1 << stages) - 1)
+    return max(LANES, -(-need // LANES) * LANES)
 
 
 def supported(fs: int, stages: int, t_len: int) -> bool:
     """Static shape constraints for the fused kernel."""
-    if t_len % LANES:
+    if stages > 7:
         return False
-    if LANES >> stages < 1 or stages > 7:
+    tiling = _tiling(t_len, stages)
+    if tiling is None:
         return False
-    # int32 phase-math bounds: row*a_row and tile*f_tile stay < 2^31
-    # (rows <= 512 by construction; tiles = t_len/(256*rows))
-    if fs * 512 >= 2**31:
+    lanes, r = tiling
+    # int32 phase-math bounds: row*a_row, lane*f_mod and tile*f_tile < 2^31
+    if fs * max(r, lanes) >= 2**31:
         return False
-    if (t_len // (LANES * 8)) * fs >= 2**31:  # worst case rows=8
+    if (t_len // (lanes * r)) * fs >= 2**31:
+        return False
+    # the carried NCO phase state this kernel pairs with (kernels/nco.py)
+    # requires fs * 2048 < 2^32 for its exact uint32 block advance
+    if fs * 2048 >= 2**32:
         return False
     return True
 
 
-def _band_matrices(taps: np.ndarray, stages: int):
+def _band_matrices(taps: np.ndarray, stages: int, lanes: int):
     """Per-stage (Mz [l, l/2], Mt [16, l/2]) banded matrices.
 
     Output m of a row = conv at flat position 2m:  y[m] = sum_k c[k] z[2m-k],
@@ -72,7 +110,7 @@ def _band_matrices(taps: np.ndarray, stages: int):
     mats = []
     c = taps.astype(np.float32)
     for s in range(stages):
-        l = LANES >> s
+        l = lanes >> s
         mz = np.zeros((l, l // 2), np.float32)
         mt = np.zeros((16, l // 2), np.float32)
         for m in range(l // 2):
@@ -114,6 +152,7 @@ class MixCascadeKernel:
         taps: np.ndarray | None = None,
         interpret: bool = False,
         shared_input: bool = False,
+        precision: str | None = None,
     ):
         """``shared_input``: all channels mix the SAME input stream (the
         sub-VFO fan-out case, sdrj.cpp:288-294) — pass xr/xi as ``[1, T]``
@@ -129,33 +168,39 @@ class MixCascadeKernel:
         self.fs = fs
         self.t_len = t_len
         self.interpret = interpret
-        taps = design.half_band(11) if taps is None else np.asarray(taps)
-        self.mats = _band_matrices(taps, stages)
+        self.lanes, self.rows = _tiling(t_len, stages)
+        if precision is None:
+            import os
 
-        rows_total = t_len // LANES
-        r = rows_total
-        for cand in (512, 480, 448, 384, 320, 256, 240, 192, 128, 96, 64, 48, 32, 16, 8):
-            if rows_total % cand == 0:
-                r = cand
-                break
-        self.rows = r
-        self.n_tiles = rows_total // r
+            precision = os.environ.get("SDRX_PALLAS_PRECISION", "highest")
+        self.precision = {
+            "default": jax.lax.Precision.DEFAULT,
+            "high": jax.lax.Precision.HIGH,
+            "highest": jax.lax.Precision.HIGHEST,
+        }[precision]
+        taps = design.half_band(11) if taps is None else np.asarray(taps)
+        self.mats = _band_matrices(taps, stages, self.lanes)
+        self.n_tiles = t_len // (self.lanes * self.rows)
 
         f = np.mod(np.asarray(freqs_hz, dtype=np.int64), fs).astype(np.int64)
         if f.shape != (channels,):
             raise ValueError(f"freqs shape {f.shape} != ({channels},)")
         # static per-channel int32 constants for exact in-kernel phase math
         self.f_mod = f.astype(np.int32)  # f mod fs
-        self.a_row = ((f * LANES) % fs).astype(np.int32)  # (f*256) mod fs
-        self.f_tile = ((f * (LANES * r)) % fs).astype(np.int32)  # per-tile step
+        self.a_row = ((f * self.lanes) % fs).astype(np.int32)  # per-row step
+        self.f_tile = (
+            (f * (self.lanes * self.rows)) % fs
+        ).astype(np.int32)  # per-tile step
         self._call = jax.jit(self._build())
 
     # ------------------------------------------------------------------
     def _build(self):
         c_chan, d, fs = self.c, self.d, self.fs
         r, n_tiles = self.rows, self.n_tiles
-        l_out = LANES >> d
+        lanes = self.lanes
+        l_out = lanes >> d
         mats = self.mats
+        dot_prec = self.precision
         two_pi_over_fs = np.float32(2.0 * np.pi / fs)
 
         def kernel(scal_ref, xr_ref, xi_ref, *refs):
@@ -179,38 +224,55 @@ class MixCascadeKernel:
                 for s in range(2 * d):
                     scratch[s][:, :] = hin_refs[s][0, :, :]
 
-            # ---- NCO phasor from exact integer phase ----
+            # ---- NCO phasor from exact integer phase, rank-1 factored ----
+            # theta(row, lane) = theta_row(row) + theta_lane(lane): the
+            # [r, lanes] phasor is the outer product of an [r, 1] row
+            # phasor and a [1, lanes] lane phasor.  sin/cos run on r+lanes
+            # elements instead of r*lanes (the full-rate transcendentals
+            # were the single largest cost of the round-3 kernel), and the
+            # mix applies both rotations as two cheap complex FMAs.  Both
+            # factors use EXACT integer residues; the only extra rounding
+            # is one f32 product per sample (~1e-7, far under the 60 dB
+            # audio bound).
             phase0 = scal_ref[0, ci]
             f_mod = scal_ref[1, ci]
             a_row = scal_ref[2, ci]
             f_tile = scal_ref[3, ci]
             off = (phase0 + (ti * f_tile) % fs) % fs
-            row_i = jax.lax.broadcasted_iota(jnp.int32, (r, LANES), 0)
-            lane_i = jax.lax.broadcasted_iota(jnp.int32, (r, LANES), 1)
-            m = (off + (row_i * a_row) % fs + (lane_i * f_mod) % fs) % fs
-            theta = m.astype(jnp.float32) * two_pi_over_fs
-            cosv = jnp.cos(theta)
-            sinv = jnp.sin(theta)
+            row_i = jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0)
+            lane_i = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
+            m_row = (off + (row_i * a_row) % fs) % fs
+            m_lane = (lane_i * f_mod) % fs
+            th_row = m_row.astype(jnp.float32) * two_pi_over_fs
+            th_lane = m_lane.astype(jnp.float32) * two_pi_over_fs
+            cr, sr = jnp.cos(th_row), jnp.sin(th_row)  # [r, 1]
+            cl, sl = jnp.cos(th_lane), jnp.sin(th_lane)  # [1, lanes]
             xr = xr_ref[0, :, :]
             xi = xi_ref[0, :, :]
-            zr = xr * cosv - xi * sinv
-            zi = xr * sinv + xi * cosv
+            ar = xr * cl - xi * sl  # lane rotation (broadcast over rows)
+            ai = xr * sl + xi * cl
+            zr = ar * cr - ai * sr  # row rotation (broadcast over lanes)
+            zi = ar * sr + ai * cr
 
             # ---- cascade ----
             row0 = jax.lax.broadcasted_iota(jnp.int32, (r, 16), 0) == 0
             planes = [zr, zi]
             for s in range(d):
-                l = LANES >> s
+                l = lanes >> s
                 mz = mz_refs[s][:, :]
                 mt = mt_refs[s][:, :]
                 pq = pq_refs[s][:, :]
                 for p in range(2):
                     z = planes[p]
+                    # pq is a 0/1 selector; HIGH (bf16x3) splits an f32
+                    # operand exactly into three bf16 terms, so the
+                    # extracted tails are bit-exact copies at half the
+                    # passes of HIGHEST (DEFAULT would round them to bf16)
                     tails = jnp.dot(
                         z,
                         pq,
                         preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
+                        precision=jax.lax.Precision.HIGH,
                     )
                     rolled = pltpu.roll(tails, 1, 0)
                     carried = scratch[2 * s + p][:, :]  # [1, 16], broadcasts
@@ -221,12 +283,12 @@ class MixCascadeKernel:
                         z,
                         mz,
                         preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
+                        precision=dot_prec,
                     ) + jnp.dot(
                         shifted,
                         mt,
                         preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
+                        precision=dot_prec,
                     )
                     planes[p] = y
 
@@ -243,8 +305,8 @@ class MixCascadeKernel:
             x_index = lambda ci, ti: (ci, ti, 0)
         in_specs = [
             pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars [4, C]
-            pl.BlockSpec((1, r, LANES), x_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, r, LANES), x_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r, lanes), x_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r, lanes), x_index, memory_space=pltpu.VMEM),
         ]
         for s in range(self.d):
             in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # mz
@@ -289,8 +351,8 @@ class MixCascadeKernel:
                 ]
             )
             n_in = 1 if shared else c_chan
-            xr3 = xr.reshape(n_in, n_tiles * r, LANES)
-            xi3 = xi.reshape(n_in, n_tiles * r, LANES)
+            xr3 = xr.reshape(n_in, n_tiles * r, lanes)
+            xi3 = xi.reshape(n_in, n_tiles * r, lanes)
             hist_args = []
             for s in range(d):
                 for p in range(2):

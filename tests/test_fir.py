@@ -164,6 +164,29 @@ class TestOverlapSaveFFT:
             stream.concat_outputs(outs), y_whole, rtol=1e-4, atol=1e-4
         )
 
+    def test_real_rfft_path_matches_direct(self, rng):
+        """Real inputs take the rfft/irfft half-spectrum path (the audio
+        low-pass case the compiler wires oss in for); must equal the direct
+        FIR and stay real-dtyped end to end (no complex64 upcast)."""
+        c = design.low_pass(2.0, 12000, 3300, 825)  # 141 taps, audio-like
+        x = rng.standard_normal((3, 750)).astype(np.float32)
+        xb = jnp.asarray(x)
+        rt = fir.prepare_taps(c, 3)
+        filt = ossfft.oss_prepare(c, 3)
+        hist = stream.fir_history_init(3, len(c), jnp.float32)
+        _, y_direct = fir.conv_block(hist, xb, rt)
+        nh, y_fft = ossfft.oss_block(hist, xb, filt)
+        assert not jnp.iscomplexobj(y_fft)
+        assert not jnp.iscomplexobj(nh)
+        np.testing.assert_allclose(y_fft, y_direct, rtol=2e-4, atol=2e-4)
+        # chunked == whole through the real path
+        _, outs = stream.run_chunked(
+            lambda h, xc: ossfft.oss_block(h, xc, filt), hist, xb, chunk=250
+        )
+        np.testing.assert_allclose(
+            stream.concat_outputs(outs), y_fft, rtol=1e-4, atol=1e-4
+        )
+
     def test_stride(self, rng):
         c = design.low_pass(2.0, 240000, 24000, 12000)
         filt = ossfft.oss_prepare(c, 1)

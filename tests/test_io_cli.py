@@ -155,6 +155,104 @@ class TestRtlTcp:
             rtltcp.RtlTcpClient("localhost")
 
 
+class _FlakyRtlTcpServer(threading.Thread):
+    """rtl_tcp server that drops every connection mid-stream: each accepted
+    connection sends the greeting, captures startup commands, streams a
+    connection-stamped byte pattern, then dies partway through a block."""
+
+    def __init__(self, n_conns=3, bytes_per_conn=3000):
+        super().__init__(daemon=True)
+        self.sock = socket.socket()
+        self.sock.bind(("127.0.0.1", 0))
+        self.sock.listen(1)
+        self.port = self.sock.getsockname()[1]
+        self.n_conns = n_conns
+        self.bytes_per_conn = bytes_per_conn
+        self.commands_per_conn: list[list[tuple[int, int]]] = []
+
+    def run(self):
+        for conn_i in range(self.n_conns):
+            conn, _ = self.sock.accept()
+            conn.sendall(b"RTL0" + struct.pack(">II", 5, 29))
+            cmds = []
+            for _ in range(5):
+                pkt = b""
+                while len(pkt) < 5:
+                    pkt += conn.recv(5 - len(pkt))
+                cmds.append((pkt[0], struct.unpack(">I", pkt[1:])[0]))
+            self.commands_per_conn.append(cmds)
+            # stamp every byte with the connection index (high nibble)
+            pattern = bytes(
+                ((conn_i << 4) | (j % 16)) for j in range(self.bytes_per_conn)
+            )
+            try:
+                conn.sendall(pattern)
+            except OSError:
+                pass
+            time.sleep(0.05)
+            conn.close()  # mid-stream drop (bytes_per_conn is NOT a
+            # multiple of the client block size)
+
+
+class TestElasticRtlTcp:
+    def test_reconnects_and_realigns(self):
+        """Kill the server mid-stream repeatedly: the elastic client must
+        reconnect, REPLAY the configure sequence, and keep yielding blocks
+        of exactly n bytes with no partial-block corruption (every block
+        comes from a single connection's stream start onward)."""
+        srv = _FlakyRtlTcpServer(n_conns=3, bytes_per_conn=3000)
+        srv.start()
+        cli = rtltcp.ElasticRtlTcp(
+            f"127.0.0.1:{srv.port}", timeout=5.0,
+            initial_backoff=0.01, max_backoff=0.05, max_retries=200,
+        )
+        assert cli.greeting == rtltcp.Greeting(5, 29)
+        cli.configure(1536000, 1545600000, gain_index=7, agc=False)
+        n = 1024  # 3000 bytes/conn -> 2 whole blocks + 952 dropped bytes
+        blocks = [cli.read_block(n) for _ in range(6)]
+        cli.close()
+        srv.join(timeout=5)
+        assert cli.stats["reconnects"] == 2
+        conn_seen = []
+        for b in blocks:
+            assert len(b) == n
+            stamps = set(b >> 4)
+            # frame alignment: one connection per block, pattern intact
+            assert len(stamps) == 1, "block mixes bytes from two connections"
+            ci = stamps.pop()
+            conn_seen.append(ci)
+            # every block starts at a 1024-multiple of SOME connection's
+            # stream (partial bytes discarded on drop), so the low-nibble
+            # counter is phase-0 and contiguous
+            np.testing.assert_array_equal(b & 0x0F, np.arange(n) % 16)
+        assert conn_seen == [0, 0, 1, 1, 2, 2]
+        # the configure sequence (incl. gain/freq) replayed on every conn
+        assert len(srv.commands_per_conn) == 3
+        for cmds in srv.commands_per_conn:
+            assert cmds == srv.commands_per_conn[0]
+
+    def test_retune_replayed_after_drop(self):
+        srv = _FlakyRtlTcpServer(n_conns=2, bytes_per_conn=2048)
+        srv.start()
+        cli = rtltcp.ElasticRtlTcp(
+            f"127.0.0.1:{srv.port}", initial_backoff=0.01, max_retries=200,
+        )
+        cli.configure(1536000, 1545600000, gain_index=3)
+        cli.set_center_freq(1545700000)
+        _ = cli.read_block(2048)
+        _ = cli.read_block(2048)  # crosses the drop -> reconnect
+        cli.close()
+        srv.join(timeout=5)
+        assert cli.stats["reconnects"] == 1
+        # second connection got configure with the ORIGINAL freq then the
+        # retune command right after (read_greeting+5 cmds captured; the
+        # retune lands in the data phase, but configure's freq must be the
+        # configured one — the retune is replayed as a 6th command which
+        # the fake server doesn't capture; what matters is no crash and
+        # stream continuity)
+        assert srv.commands_per_conn[1][4] == (rtltcp.CMD.SET_FREQ, 1545600000)
+
+
 MINI_INI = """
 sample_rate=1536000
 center_frequency=1545600000
