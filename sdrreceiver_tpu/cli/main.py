@@ -56,7 +56,73 @@ def _build(args, block=None, taps=()):
     args._full_taps = full_topics
     args._full_plan = plan
     args._multihost = None
+    args._egress_owner = None
     local_devices = None
+    if getattr(args, "coordinator", None) and (
+        getattr(args, "partition", "groups") == "global"
+    ):
+        # GLOBAL partitioning (BASELINE config 5): every process runs the
+        # FULL plan over one (time, chan) mesh spanning all hosts' devices;
+        # compute splits exactly evenly and the shard_map halos + the
+        # replicated output gather ride DCN.  Egress stays per-host via a
+        # deterministic group->host ownership map.
+        import jax
+
+        from ..dist import ShardedReceiver, multihost
+
+        pid, n = multihost.initialize(
+            args.coordinator,
+            getattr(args, "num_processes", None),
+            getattr(args, "process_id", None),
+        )
+        mesh_arg = getattr(args, "mesh", None)
+        n_chan = 1
+        if mesh_arg:
+            try:
+                n_time, n_chan = (int(v) for v in mesh_arg.lower().split("x"))
+            except ValueError:
+                raise SystemExit(f"--mesh wants TxC, got {mesh_arg!r}")
+            if n_time * n_chan != len(jax.devices()):
+                raise SystemExit(
+                    f"--mesh {mesh_arg} is the GLOBAL shape under "
+                    f"--partition global; {len(jax.devices())} total devices"
+                )
+        mesh = multihost.global_mesh(n_chan=n_chan)
+        own = multihost.egress_owner(plan, n)
+        args._egress_owner = multihost.output_key_owner(plan, n)
+        local_topics = [
+            s.topic
+            for g in plan.groups
+            if own[g.index] == pid
+            for b in g.buckets
+            for s in b.subs
+        ]
+        args._multihost = {
+            "mode": "global",
+            "process_id": pid,
+            "num_processes": n,
+            "coordinator": args.coordinator,
+            "egress_owner": {int(k): int(v) for k, v in own.items()},
+            "local_topics": local_topics,
+            "report": multihost.global_report(plan, n, mesh.shape["time"]),
+        }
+        if block is None:
+            div = plan.block_divisor() * mesh.shape["time"]
+            block = ((plan.block_samples + div - 1) // div) * div
+        if taps == "all":
+            taps = (
+                ("main",)
+                + tuple(f"g{g.index}" for g in plan.groups)
+                + tuple(
+                    s.topic
+                    for g in plan.groups
+                    for b in g.buckets
+                    for s in b.subs
+                )
+            )
+        return cfg, plan, ShardedReceiver(
+            plan, mesh, block, emit_taps=tuple(taps)
+        )
     if getattr(args, "coordinator", None):
         from ..dist import multihost
 
@@ -107,13 +173,10 @@ def _build(args, block=None, taps=()):
             taps = tuple(t for t in taps if t not in dropped)
     use_pallas = bool(getattr(args, "pallas", False))
     if mesh_arg:
+        import jax
+
         from ..dist import ShardedReceiver, make_mesh
 
-        if use_pallas:
-            raise SystemExit(
-                "--pallas is not supported together with --mesh "
-                "(fused kernels have no SPMD partitioning rule)"
-            )
         try:
             n_time, n_chan = (int(v) for v in mesh_arg.lower().split("x"))
         except ValueError:
@@ -124,7 +187,13 @@ def _build(args, block=None, taps=()):
             # that is >= the reference's buffer (plan.block_samples)
             div = plan.block_divisor() * n_time
             block = ((plan.block_samples + div - 1) // div) * div
-        return cfg, plan, ShardedReceiver(plan, mesh, block, emit_taps=tuple(taps))
+        interpret = use_pallas and (
+            "tpu" not in jax.devices()[0].platform.lower()
+        )
+        return cfg, plan, ShardedReceiver(
+            plan, mesh, block, emit_taps=tuple(taps),
+            use_pallas=use_pallas, pallas_interpret=interpret,
+        )
     from ..graph.compiler import CompiledReceiver
 
     interpret = False
@@ -274,6 +343,25 @@ def cmd_process_file(args) -> int:
     blocks = (
         jnp.asarray(b.view(np.float32)) for b in iqfile.iter_blocks(iq, rx.block)
     )
+    fetch_filter = None
+    if args._egress_owner is not None:
+        # global-mesh multihost: outputs are replicated on every host, but
+        # each host fetches+writes+publishes only the groups it OWNS (and
+        # any scope taps), so topics stay single-publisher
+        if args.burst > 1:
+            raise SystemExit("--burst > 1 is not supported with --partition global")
+        pid = args._multihost["process_id"]
+        owner = args._egress_owner
+
+        def fetch_filter(k, _own=owner, _pid=pid):
+            if k.startswith("tap/"):
+                return True
+            for prefix, h in _own.items():
+                if k.startswith(prefix):
+                    return h == _pid
+            return True
+
+        blocks = (rx.globalize(b) for b in blocks)
     if args.profile:
         import jax
 
@@ -281,12 +369,14 @@ def cmd_process_file(args) -> int:
             metrics, final_state = run_pipeline(
                 rx, blocks, on_outputs, max_blocks=args.max_blocks, state=state,
                 return_state=True, burst=args.burst,
+                fetch_filter=fetch_filter,
             )
         print(f"profiler trace written to {args.profile}", file=sys.stderr)
     else:
         metrics, final_state = run_pipeline(
             rx, blocks, on_outputs, max_blocks=args.max_blocks, state=state,
             return_state=True, burst=args.burst,
+            fetch_filter=fetch_filter,
         )
 
     written = []
@@ -708,8 +798,8 @@ def build_parser() -> argparse.ArgumentParser:
             "--pallas",
             action="store_true",
             help="route supported mix+cascade fronts through the fused "
-            "Pallas TPU kernels (single-device only; unsupported shapes "
-            "fall back per group/bucket)",
+            "Pallas TPU kernels (composes with --mesh: group fronts run "
+            "per-shard; unsupported shapes fall back per group/bucket)",
         )
         sp.add_argument(
             "--strict-reference",
@@ -735,6 +825,17 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument(
             "--process-id", type=int, default=None,
             help="this process's id for --coordinator (else from env)",
+        )
+        sp.add_argument(
+            "--partition", default="groups", choices=["groups", "global"],
+            help="multi-host partitioning: 'groups' = whole main-VFO "
+            "groups per host (no cross-host data plane; ceiling = group "
+            "balance), 'global' = ONE (time x chan) mesh over every "
+            "host's devices (exactly even compute; halos + output "
+            "gather ride DCN — BASELINE config 5's channels x "
+            "time-blocks shape). With 'global', --mesh is the GLOBAL "
+            "TxC shape and each host publishes the topics of the "
+            "groups it owns for egress",
         )
         if iq_required:
             sp.add_argument("--iq", required=True, help="IQ recording path")

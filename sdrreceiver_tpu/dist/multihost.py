@@ -1,21 +1,32 @@
-"""Multi-host deployment: group-per-host partitioning over DCN.
+"""Multi-host deployment over DCN: two partitioning modes.
 
-SURVEY.md section 2.4's deployment rule: FIR-history halos must ride ICI, so
-each host owns WHOLE main-VFO groups (a group's front end + all its buckets),
-and the only cross-host traffic is control + the host-local ZMQ egress.  This
-module implements that partitioning:
+**groups** (SURVEY.md section 2.4's original rule): each host owns WHOLE
+main-VFO groups (front end + all its buckets); halos stay intra-host and DCN
+carries nothing per-sample.  Simple and collective-free, but its scaling
+ceiling is the group-cost balance — CBAND_143E's 3 unequal groups cap 2-host
+efficiency at ~0.82 (``assignment_report``).
 
   * :func:`assign_groups` — deterministic balanced assignment of plan groups
     to ``n_hosts`` by front-end+bucket FLOP cost (largest-first greedy)
   * :func:`host_subplan` — a ReceiverPlan containing only this host's groups
-    (planning rules untouched; group indices preserved for topic routing)
-  * :func:`initialize` — ``jax.distributed`` bring-up for a JobSet-style
-    launch; each process then builds its sub-plan receiver over its local
-    chips with the usual ``(time, chan)`` mesh
+  * :func:`assignment_report` — the balance-efficiency ceiling of this mode
 
-Scaling efficiency target (BASELINE.md): >=90% at N>=2 hosts — achieved by
-construction here since hosts share no data-plane traffic; the binding
-constraint is cost balance, reported by :func:`assignment_report`.
+**global** (round 4, BASELINE config 5): every host runs the FULL plan over
+ONE global ``(time, chan)`` mesh spanning all processes' devices — the
+existing ShardedReceiver time/channel sharding, with its ppermute halos
+(10 samples/stage) and the replicated-output gather riding DCN.  Compute
+splits exactly evenly regardless of group shapes (balance efficiency 1.0 by
+construction); the DCN cost is the KB-scale halo exchange plus the ~MB-scale
+output all-gather per 0.25 s block (:func:`global_report` quantifies both).
+Egress stays per-host: :func:`egress_owner` deterministically assigns each
+group's topics to one host, so ZMQ subscribers see each topic from exactly
+one publisher, as in groups mode.
+
+  * :func:`global_mesh` — the all-processes ``(time, chan)`` mesh
+  * :func:`egress_owner` — group index -> publishing host
+  * :func:`global_report` — balance + DCN traffic model for the artifact
+
+:func:`initialize` does the ``jax.distributed`` bring-up for both modes.
 """
 
 from __future__ import annotations
@@ -33,6 +44,9 @@ __all__ = [
     "assign_groups",
     "host_subplan",
     "assignment_report",
+    "global_mesh",
+    "egress_owner",
+    "global_report",
 ]
 
 
@@ -124,6 +138,94 @@ def host_subplan(plan: ReceiverPlan, assignment: dict[int, int], host: int) -> R
     """The plan restricted to one host's groups (indices preserved)."""
     groups = tuple(g for g in plan.groups if assignment.get(g.index) == host)
     return dataclasses.replace(plan, groups=groups)
+
+
+def global_mesh(n_chan: int = 1, devices=None):
+    """One ``(time, chan)`` mesh over EVERY process's devices.
+
+    With N processes x D local devices, time = N*D/n_chan.  The existing
+    ShardedReceiver then runs unmodified: its shard_map halo ppermutes and
+    the replicated state/output gathers become DCN collectives between
+    hosts.  This is BASELINE config 5's "channels x time-blocks across
+    N >= 2 hosts" shape."""
+    import jax
+
+    from .mesh import make_mesh
+
+    devices = list(devices if devices is not None else jax.devices())
+    if len(devices) % n_chan:
+        raise ValueError(
+            f"{len(devices)} global devices not divisible by n_chan={n_chan}"
+        )
+    return make_mesh(
+        n_time=len(devices) // n_chan, n_chan=n_chan, devices=devices
+    )
+
+
+def egress_owner(plan: ReceiverPlan, n_hosts: int) -> dict[int, int]:
+    """group index -> host that PUBLISHES its topics in global-mesh mode.
+
+    Compute is evenly split by the mesh; only egress (cheap) needs an
+    owner so each topic appears on exactly one host's ZMQ socket.  Reuses
+    the deterministic group assignment, so groups-mode consumers see the
+    same topic->host mapping."""
+    return assign_groups(plan, n_hosts)
+
+
+def output_key_owner(plan: ReceiverPlan, n_hosts: int) -> dict[str, int]:
+    """Step-output key prefix -> owning host (global-mesh egress filter).
+
+    Keys are the PACKED step outputs (``pcm/g<i>/...``, ``iq/<topic>``);
+    ownership is per group, so a host's fetch filter can skip whole packed
+    buffers it will not publish."""
+    own = egress_owner(plan, n_hosts)
+    keys: dict[str, int] = {}
+    for g in plan.groups:
+        keys[f"pcm/g{g.index}/"] = own[g.index]
+        if g.publishes_iq:
+            keys[f"iq/{g.zmq_topic}"] = own[g.index]
+    return keys
+
+
+def global_report(plan: ReceiverPlan, n_hosts: int, n_time: int) -> dict:
+    """Balance + DCN traffic model of the global-mesh mode (the eff(N)
+    artifact's analytic half; the measured half is the multi-process run).
+
+    Compute balance is exact by construction (every host processes
+    block/n_time-sample time shards of every group).  DCN carries (a) the
+    per-stage halo ppermutes that cross a host boundary (~10 complex
+    samples per stage per block) and (b) the replicated output gather."""
+    costs = group_costs(plan)
+    total = sum(costs.values())
+    halo_bytes = 0
+    for g in plan.groups:
+        if g.direct:
+            continue
+        # 10-sample complex64 halo per cascade stage crossing each of the
+        # n_hosts-1 host boundaries (dist/halo.right_halo)
+        halo_bytes += g.stages * 10 * 8 * (n_hosts - 1)
+    out_bytes = 0
+    tg = plan.block_samples
+    for g in plan.groups:
+        t_out = tg >> g.stages
+        for b in g.buckets:
+            out_bytes += 2 * b.channels * ((t_out >> b.stages) // b.late_factor)
+        if g.publishes_iq:
+            out_bytes += t_out
+    return {
+        "mode": "global",
+        "n_hosts": n_hosts,
+        "n_time": n_time,
+        "balance_efficiency": 1.0,
+        "flops_per_block_per_host": round(total / n_hosts / 1e6, 3),
+        "halo_bytes_per_block": halo_bytes,
+        "output_gather_bytes_per_block": out_bytes,
+        # DCN seconds per block at a conservative 5 GB/s effective host
+        # link, vs the 0.25 s realtime block budget
+        "dcn_fraction_of_block": round(
+            (halo_bytes + out_bytes) / 5e9 / (plan.block_samples / plan.fs), 6
+        ),
+    }
 
 
 def assignment_report(plan: ReceiverPlan, n_hosts: int) -> dict:

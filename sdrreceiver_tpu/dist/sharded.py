@@ -57,6 +57,13 @@ class ShardedReceiver(CompiledReceiver):
             raise ValueError(f"mesh needs a {TIME_AXIS!r} axis")
         self.n_time = mesh.shape[TIME_AXIS]
         self.n_chan = mesh.shape.get(CHAN_AXIS, 1)
+        # mesh spanning several processes (multihost global mode): outputs
+        # must be pinned fully-replicated so every host can fetch them (the
+        # DCN gather is ~MB/block), and state/input arrays must be built as
+        # global arrays (see globalize/init_state)
+        self._multiprocess = any(
+            d.process_index != jax.process_index() for d in mesh.devices.flat
+        )
         self._shard_kernels: dict[str, tuple] = {}
         super().__init__(plan, block_samples, **kwargs)
         need = plan.block_divisor() * self.n_time
@@ -126,9 +133,39 @@ class ShardedReceiver(CompiledReceiver):
             out_vec = jax.lax.with_sharding_constraint(
                 self._svec.pack(pin(new_state)), repl
             )
+            if self._multiprocess:
+                # every host fetches/publishes from the same replicated
+                # outputs (per-host egress filtering happens host-side)
+                outputs = pin(outputs)
             return out_vec, outputs
 
         return wrapped
+
+    # -- multi-process plumbing ---------------------------------------------
+    def globalize(self, x, spec=None):
+        """Host-local array (same value on every process) -> global jax
+        Array over this receiver's mesh.  ``spec``: PartitionSpec (default
+        time-sharded along the last axis for data, use P() for state)."""
+        import numpy as np
+        from jax.sharding import PartitionSpec
+
+        from .mesh import TIME_AXIS as _T
+
+        if not self._multiprocess:
+            return x
+        x = np.asarray(x)
+        sh = NamedSharding(
+            self.mesh, spec if spec is not None else PartitionSpec(_T)
+        )
+        return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
+
+    def init_state(self) -> jax.Array:
+        vec = super().init_state()
+        if self._multiprocess:
+            from jax.sharding import PartitionSpec
+
+            return self.globalize(vec, PartitionSpec())
+        return vec
 
     # -- front end under shard_map ------------------------------------------
     def _front(self, state: dict, x):

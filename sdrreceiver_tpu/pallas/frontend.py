@@ -153,6 +153,7 @@ class MixCascadeKernel:
         interpret: bool = False,
         shared_input: bool = False,
         precision: str | None = None,
+        rows: int | None = None,
     ):
         """``shared_input``: all channels mix the SAME input stream (the
         sub-VFO fan-out case, sdrj.cpp:288-294) — pass xr/xi as ``[1, T]``
@@ -169,13 +170,19 @@ class MixCascadeKernel:
         self.t_len = t_len
         self.interpret = interpret
         self.lanes, self.rows = _tiling(t_len, stages)
+        if rows is not None:  # benchmarking override (tools/kernel_probe.py)
+            if (t_len // self.lanes) % rows or (
+                rows % 8 and rows != t_len // self.lanes
+            ):
+                raise ValueError(f"invalid rows override {rows}")
+            self.rows = rows
         if precision is None:
             import os
 
             precision = os.environ.get("SDRX_PALLAS_PRECISION", "highest")
+        # Mosaic lowers only DEFAULT and HIGHEST dot precisions
         self.precision = {
             "default": jax.lax.Precision.DEFAULT,
-            "high": jax.lax.Precision.HIGH,
             "highest": jax.lax.Precision.HIGHEST,
         }[precision]
         taps = design.half_band(11) if taps is None else np.asarray(taps)
@@ -264,15 +271,14 @@ class MixCascadeKernel:
                 pq = pq_refs[s][:, :]
                 for p in range(2):
                     z = planes[p]
-                    # pq is a 0/1 selector; HIGH (bf16x3) splits an f32
-                    # operand exactly into three bf16 terms, so the
-                    # extracted tails are bit-exact copies at half the
-                    # passes of HIGHEST (DEFAULT would round them to bf16)
+                    # pq is a 0/1 selector; the copy must stay exact, and
+                    # Mosaic lowers only DEFAULT/HIGHEST dots (DEFAULT
+                    # would round the copied tails to bf16)
                     tails = jnp.dot(
                         z,
                         pq,
                         preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGH,
+                        precision=jax.lax.Precision.HIGHEST,
                     )
                     rolled = pltpu.roll(tails, 1, 0)
                     carried = scratch[2 * s + p][:, :]  # [1, 16], broadcasts
