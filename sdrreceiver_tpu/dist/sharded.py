@@ -81,6 +81,9 @@ class ShardedReceiver(CompiledReceiver):
         the SPMD-partitioned bucket path would be gathered onto one device."""
         return None
 
+    def _want_dc_kernel(self) -> bool:
+        return False  # time shards use the halo DC path (dist/halo)
+
     def _build_shard_kernels(self) -> None:
         from ..pallas.frontend import MixCascadeKernel, supported, warmup_len
 
@@ -217,11 +220,12 @@ class ShardedReceiver(CompiledReceiver):
                     continue
                 gs = st[gk]
                 if gk in self._shard_kernels:
-                    # per-shard fused Pallas front: [warmup halo | shard]
-                    # through the kernel with ZERO stage tails; the halo
-                    # (left neighbor's tail, or the carried xtail on shard
-                    # 0) washes the zero state out exactly, and the warm-up
-                    # outputs are dropped (pallas.frontend.warmup_len)
+                    # per-shard STATELESS fused Pallas front: each shard
+                    # prepends a warmup_len halo (left neighbor's tail via
+                    # ppermute; the carried xtail on shard 0), runs the
+                    # composite kernel, and drops the warm-up outputs
+                    # (pallas/frontend.py — same scheme as the single-chip
+                    # path, so the two can't drift)
                     kern, p = self._shard_kernels[gk]
                     d = g.stages
                     idx = jax.lax.axis_index(TIME_AXIS)
@@ -239,34 +243,32 @@ class ShardedReceiver(CompiledReceiver):
                         + (iu * step) % np.uint32(fs)
                         + (np.uint32(fs) - pmod)
                     ) % np.uint32(fs)
-                    yr, yi, hbp = kern(
-                        ph.astype(jnp.int32),
-                        jnp.zeros((d, 1, 2, 16), jnp.float32),
-                        ext.real[None, :],
-                        ext.imag[None, :],
-                    )
+                    yr, yi = kern(ph, ext.real[None, :], ext.imag[None, :])
                     zs[gk] = (yr[:, p >> d :], yi[:, p >> d :])
                     new_nco = dict(nco_state)
                     new_nco["phase"] = (
                         nco_state["phase"]
                         + (jnp.uint32(n_time) * step) % np.uint32(fs)
                     ) % np.uint32(fs)
-                    # the kernel's reported stage tails ARE the canonical
-                    # cascade histories (last 10 inputs per stage, slots
-                    # 6..15) — take the last shard's, so checkpoints stay
-                    # mode-portable
-                    hbp_last = halo._bcast_from_last(hbp, TIME_AXIS)
+                    # canonical cascade histories re-derived from the
+                    # block's global mixed tail (washout-exact): last
+                    # shard's local tail, broadcast, mixed at the rewound
+                    # end phase
+                    from ..kernels import halfband as hb_mod
+
+                    tail_c = halo._bcast_from_last(y[-p:], TIME_AXIS)
+                    tst = dict(new_nco)
+                    tst["phase"] = (
+                        new_nco["phase"] + (np.uint32(fs) - pmod)
+                    ) % np.uint32(fs)
+                    _, ztail = nco_mod.mix_block_planar(
+                        tst, (tail_c.real, tail_c.imag), fs
+                    )
                     new_st[gk] = {
                         "nco": new_nco,
-                        "cascade": [
-                            jnp.stack(
-                                [
-                                    hbp_last[s, :, 0, 6:16],
-                                    hbp_last[s, :, 1, 6:16],
-                                ]
-                            )
-                            for s in range(d)
-                        ],
+                        "cascade": hb_mod.cascade_tails_from_tail(
+                            ztail, self._consts[f"{gk}/hb"], d
+                        ),
                     }
                     continue
                 nco_state, z = halo.timeshard_mix_local(

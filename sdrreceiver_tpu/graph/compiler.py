@@ -171,26 +171,51 @@ class CompiledReceiver:
         t_len: int,
         shared_input: bool = False,
     ):
-        """Build (or skip) a fused Pallas mix+cascade kernel for a node."""
+        """Build (or skip) a fused Pallas mix+composite-cascade kernel.
+
+        The kernel is STATELESS (pallas/frontend.py): the step prepends a
+        ``warmup_len(stages)`` prefix (from the carried xtail for groups,
+        from the derived previous-block group tail for buckets) and drops
+        the warm-up outputs.  Stored as ``(kernel, warmup)``."""
         if not self.use_pallas or stages == 0:
             return None
-        from ..pallas.frontend import MixCascadeKernel, supported
+        if not self.xtail_len():
+            return None  # no carried tail to warm the stateless kernels
+        from ..pallas.frontend import MixCascadeKernel, supported, warmup_len
 
-        if not supported(fs, stages, t_len):
+        warm = warmup_len(stages)
+        if not supported(fs, stages, t_len + warm):
             return None
-        self._kernels[key] = MixCascadeKernel(
-            channels,
-            stages,
-            fs,
-            np.asarray(freqs, dtype=np.int64),
-            t_len,
-            interpret=self.pallas_interpret,
-            shared_input=shared_input,
+        self._kernels[key] = (
+            MixCascadeKernel(
+                channels,
+                stages,
+                fs,
+                np.asarray(freqs, dtype=np.int64),
+                t_len + warm,
+                interpret=self.pallas_interpret,
+                shared_input=shared_input,
+            ),
+            warm,
         )
         return self._kernels[key]
 
+    def _want_dc_kernel(self) -> bool:
+        """Hook: ShardedReceiver keeps the halo DC path (the fused kernel
+        is a whole-contiguous-stream op; time shards need the cross-shard
+        affine composition in dist/halo)."""
+        return self.use_pallas and self.plan.dc_correct
+
     def _build_consts(self) -> None:
         self._kernels: dict[str, Any] = {}
+        self._dc_kernel = None
+        if self._want_dc_kernel():
+            from ..pallas.dckernel import DcKernel, dc_supported
+
+            if dc_supported(self.block):
+                self._dc_kernel = DcKernel(
+                    self.block, interpret=self.pallas_interpret
+                )
         hb = design.half_band(11)
         hilb = design.hilbert()
         for g in self.plan.groups:
@@ -238,17 +263,24 @@ class CompiledReceiver:
         """Length of the carried post-DC input tail ``state["xtail"]``.
 
         Every execution mode carries the last this-many post-DC input
-        samples so a checkpoint taken ANYWHERE can resume into the
-        sharded-Pallas front, whose time shards warm up zero-state fused
-        kernels from exactly this tail (pallas.frontend.warmup_len;
-        dist/sharded.py).  0 = no cascaded groups, leaf absent."""
+        samples so a checkpoint taken ANYWHERE can resume into any Pallas
+        mode: the stateless fused kernels warm up from this tail — group
+        kernels directly, bucket kernels via the previous block's group
+        output re-derived from it (so the tail must cover the bucket
+        warm-up AT THE INPUT RATE plus the group washout), and the
+        sharded front's shard-0 halo (dist/sharded.py).  0 = no cascaded
+        groups, leaf absent."""
         from ..pallas.frontend import warmup_len
 
-        ps = [
-            warmup_len(g.stages)
-            for g in self.plan.groups
-            if not g.direct and g.stages >= 1
-        ]
+        ps = []
+        for g in self.plan.groups:
+            if g.direct or g.stages < 1:
+                continue
+            wg = warmup_len(g.stages)
+            ps.append(wg)
+            for b in g.buckets:
+                if b.stages >= 1:
+                    ps.append((1 << g.stages) * warmup_len(b.stages) + wg)
         p = max(ps, default=0)
         return p if 0 < p <= self.block else 0
 
@@ -262,20 +294,19 @@ class CompiledReceiver:
             gk = f"g{g.index}"
             if not g.direct:
                 gs["nco"] = nco.nco_init([g.mixer_freq], plan.fs)
-                if gk in self._kernels:
-                    gs["cascade_p"] = self._kernels[gk].init_hists()
-                else:
-                    gs["cascade"] = halfband.cascade_init_planar(1, g.stages)
+                gs["cascade"] = halfband.cascade_init_planar(1, g.stages)
             for bi, b in enumerate(g.buckets):
                 c = b.channels
                 bs: dict[str, Any] = {
                     "nco": nco.nco_init(b.mixer_freqs(), b.mix_fs(g.out_rate)),
                     "usb": usbdemod.usb_init(c),
+                    # ALWAYS the canonical per-stage-history layout, in
+                    # every execution mode: the stateless Pallas kernels
+                    # re-derive these from their warm-up tails each block
+                    # (halfband.cascade_tails_from_tail), so checkpoints
+                    # are mode-portable by construction
+                    "cascade": halfband.cascade_init_planar(c, b.stages),
                 }
-                if f"{gk}/b{bi}" in self._kernels:
-                    bs["cascade_p"] = self._kernels[f"{gk}/b{bi}"].init_hists()
-                else:
-                    bs["cascade"] = halfband.cascade_init_planar(c, b.stages)
                 if b.late_factor > 1:
                     ntaps = self._consts[f"g{g.index}/b{bi}/late"].shape[1]
                     bs["late"] = fir.fir_history_init_planar(c, ntaps)
@@ -326,7 +357,11 @@ class CompiledReceiver:
         mesh axis; the bucket back half below is shared."""
         plan = self.plan
         new_state: dict[str, Any] = {}
-        if plan.dc_correct:
+        if plan.dc_correct and self._dc_kernel is not None:
+            # fused Pallas DC: one HBM read+write instead of the XLA
+            # closed-form's several passes (pallas/dckernel.py)
+            new_state["dc"], x = self._dc_kernel(state["dc"], x)
+        elif plan.dc_correct:
             new_state["dc"], x = dc.dc_block_planar(state["dc"], x)
         else:
             new_state["dc"] = state["dc"]
@@ -339,19 +374,31 @@ class CompiledReceiver:
             if g.direct:
                 zs[gk] = (xr[None, :], xi[None, :])
             elif gk in self._kernels:
-                kern = self._kernels[gk]
-                yr, yi, hbp = kern(
-                    gs["nco"]["phase"].astype(jnp.int32),
-                    gs["cascade_p"],
-                    xr[None, :],
-                    xi[None, :],
-                )
-                zs[gk] = (yr, yi)
+                # stateless composite kernel: prepend the carried xtail's
+                # last warmup samples, start the in-kernel NCO at the
+                # prefix's phase, drop the warm-up outputs
+                kern, warm = self._kernels[gk]
+                xt = state["xtail"]
+                ph = nco.phase_minus(gs["nco"], plan.fs, warm)
+                ext_r = jnp.concatenate([xt[0, -warm:], xr])
+                ext_i = jnp.concatenate([xt[1, -warm:], xi])
+                yr, yi = kern(ph, ext_r[None, :], ext_i[None, :])
+                drop = warm >> g.stages
+                zs[gk] = (yr[:, drop:], yi[:, drop:])
                 ngs["nco"] = dict(gs["nco"])
                 ngs["nco"]["phase"] = nco.advance_per_block(
                     gs["nco"], plan.fs, self.block
                 )
-                ngs["cascade_p"] = hbp
+                # canonical cascade histories re-derived from the block's
+                # mixed tail (exact by washout; keeps state mode-portable)
+                tail = (ext_r[-warm:], ext_i[-warm:])
+                tph = nco.phase_minus(ngs["nco"], plan.fs, warm)
+                tst = dict(gs["nco"])
+                tst["phase"] = tph
+                _, ztail = nco.mix_block_planar(tst, tail, plan.fs)
+                ngs["cascade"] = halfband.cascade_tails_from_tail(
+                    ztail, self._consts[f"{gk}/hb"][:1], g.stages
+                )
             else:
                 ngs["nco"], z = nco.mix_block_planar(gs["nco"], x, plan.fs)
                 ngs["cascade"], z = halfband.cascade_apply_planar(
@@ -365,6 +412,35 @@ class CompiledReceiver:
         """Hook: ShardedReceiver pins bucket tensors to the chan mesh axis."""
         return y
 
+    def _prev_group_tail(self, state: dict, g, n_out: int):
+        """Last ``n_out`` group-rate samples of the PREVIOUS block's group
+        output, re-derived from the carried xtail — the warm-up prefix for
+        this block's bucket kernels.
+
+        Derivation (all washout-exact): take the last
+        ``n_out * 2^stages + warmup`` input samples (the xtail is sized to
+        cover this), mix them at the analytically rewound phase, run a
+        ZERO-state jnp cascade, and keep the last ``n_out`` outputs — the
+        zero state washes out inside the extra warmup samples."""
+        from ..kernels import halfband as hb_mod
+        from ..pallas.frontend import warmup_len
+
+        wg = warmup_len(g.stages)
+        need = n_out * (1 << g.stages) + wg
+        xt = state["xtail"]
+        gs = state[f"g{g.index}"]
+        tst = dict(gs["nco"])
+        tst["phase"] = nco.phase_minus(gs["nco"], self.plan.fs, need)
+        _, zmix = nco.mix_block_planar(
+            tst, (xt[0, -need:], xt[1, -need:]), self.plan.fs
+        )
+        _, z = hb_mod.cascade_apply_planar(
+            hb_mod.cascade_init_planar(1, g.stages),
+            zmix,
+            self._consts[f"g{g.index}/hb"],
+        )
+        return z[0][:, -n_out:], z[1][:, -n_out:]
+
     def _bucket_step(
         self,
         g,
@@ -372,6 +448,7 @@ class CompiledReceiver:
         bs: dict,
         z,
         outputs: dict[str, jax.Array],
+        state: dict | None = None,
     ) -> dict:
         """One sub-VFO bucket's full pipeline on the planar group baseband
         ``z = (zr, zi)`` ``[1, Tg]``: mix, half-band cascade, per-channel
@@ -384,19 +461,30 @@ class CompiledReceiver:
         zr, zi = z
         nbs: dict[str, Any] = {}
         if bk in self._kernels:
-            kern = self._kernels[bk]
-            yr, yi, hbp = kern(
-                bs["nco"]["phase"].astype(jnp.int32),
-                bs["cascade_p"],
-                zr,  # [1, Tg]: shared_input reads one block
-                zi,
-            )
-            y = (yr, yi)
+            kern, warm = self._kernels[bk]
+            fs_b = b.mix_fs(g.out_rate)
+            # warm-up prefix = previous block's group output tail,
+            # re-derived from the carried xtail (state stays canonical)
+            ztr, zti = self._prev_group_tail(state, g, warm)
+            ext_r = jnp.concatenate([ztr, zr], axis=-1)
+            ext_i = jnp.concatenate([zti, zi], axis=-1)
+            ph = nco.phase_minus(bs["nco"], fs_b, warm)
+            yr, yi = kern(ph, ext_r, ext_i)
+            drop = warm >> b.stages
+            y = (yr[:, drop:], yi[:, drop:])
             nbs["nco"] = dict(bs["nco"])
             nbs["nco"]["phase"] = nco.advance_per_block(
-                bs["nco"], b.mix_fs(g.out_rate), zr.shape[-1]
+                bs["nco"], fs_b, zr.shape[-1]
             )
-            nbs["cascade_p"] = hbp
+            # canonical bucket cascade histories from the mixed tail
+            nst = dict(nbs["nco"])
+            nst["phase"] = nco.phase_minus(nbs["nco"], fs_b, warm)
+            _, ztail = nco.mix_block_planar(
+                nst, (ext_r[0, -warm:], ext_i[0, -warm:]), fs_b
+            )
+            nbs["cascade"] = halfband.cascade_tails_from_tail(
+                ztail, self._consts[f"{bk}/hb"], b.stages
+            )
         else:
             nbs["nco"], y = nco.mix_block_planar(
                 bs["nco"], (zr[0], zi[0]), b.mix_fs(g.out_rate)
@@ -463,13 +551,11 @@ class CompiledReceiver:
                 )
             for bi in range(len(g.buckets)):
                 ngs[f"b{bi}"] = self._bucket_step(
-                    g, bi, gs[f"b{bi}"], z, outputs
+                    g, bi, gs[f"b{bi}"], z, outputs, state=state
                 )
         return new_state, outputs
 
     # ---------------------------------------------------- state portability
-    _HB_HIST = 10  # half-band taps - 1; pallas tails carry them in slots 6..15
-
     @staticmethod
     def _is_planar_pair(key: str) -> bool:
         """State paths stored internally as planar ``[2, ...]`` f32 planes
@@ -482,24 +568,15 @@ class CompiledReceiver:
 
     def export_state(self, vec) -> dict:
         """Packed state vector -> named host leaves in the CANONICAL layout
-        (complex histories, as in the original jnp-mode layout — stable
-        across rounds): Pallas ``cascade_p`` tails ``[d, C, 2, 16]`` become
-        per-stage complex histories ``cascade/<s>`` ``[C, 10]``, and the
-        planar ``[2, ...]`` re/im planes the step carries internally
-        (TPU layout, see ``_step_planar``) are recombined to complex64 —
-        so a checkpoint taken in any execution mode loads into any other
-        (jnp / Pallas / sharded)."""
+        (complex histories — stable across rounds): every execution mode
+        carries the same per-stage-history state (the stateless Pallas
+        kernels re-derive it each block, see _init_state), so this is a
+        pure planar->complex re-view and a checkpoint taken in any mode
+        loads into any other (jnp / Pallas / sharded)."""
         named = self._svec.export_named(vec)
         out: dict[str, np.ndarray] = {}
         for k, v in named.items():
-            if k.endswith("cascade_p"):
-                base = k[: -len("cascade_p")] + "cascade"
-                for s in range(v.shape[0]):
-                    out[f"{base}/{s}"] = (
-                        v[s, :, 0, 6 : 6 + self._HB_HIST]
-                        + 1j * v[s, :, 1, 6 : 6 + self._HB_HIST]
-                    ).astype(np.complex64)
-            elif self._is_planar_pair(k):
+            if self._is_planar_pair(k):
                 out[k] = (v[0] + 1j * v[1]).astype(np.complex64)
             else:
                 out[k] = v
@@ -518,27 +595,7 @@ class CompiledReceiver:
             # modes never read it)
             conv["xtail"] = np.zeros(self.xtail_len(), np.complex64)
         for key, shape, dtype, off, store in self._svec.spec:
-            if key.endswith("cascade_p"):
-                base = key[: -len("cascade_p")] + "cascade"
-                d, c = shape[0], shape[1]
-                tails = np.zeros(shape, np.float32)
-                for s in range(d):
-                    ck = f"{base}/{s}"
-                    if ck not in conv:
-                        raise KeyError(
-                            f"checkpoint missing state entry {ck!r} (needed "
-                            f"to rebuild the fused-kernel tails {key!r})"
-                        )
-                    h = np.asarray(conv.pop(ck))
-                    if h.shape != (c, self._HB_HIST):
-                        raise ValueError(
-                            f"checkpoint entry {ck!r} has shape {h.shape}, "
-                            f"expected {(c, self._HB_HIST)}"
-                        )
-                    tails[s, :, 0, 6 : 6 + self._HB_HIST] = h.real
-                    tails[s, :, 1, 6 : 6 + self._HB_HIST] = h.imag
-                conv[key] = tails
-            elif self._is_planar_pair(key) and key in conv:
+            if self._is_planar_pair(key) and key in conv:
                 h = np.asarray(conv[key])
                 want = shape[1:]
                 if h.shape != want:

@@ -25,6 +25,7 @@ __all__ = [
     "cascade_init_planar",
     "cascade_apply",
     "cascade_apply_planar",
+    "cascade_tails_from_tail",
     "cascade_taps",
 ]
 
@@ -68,6 +69,36 @@ def cascade_init_planar(
     return [
         jnp.zeros((2, channels, taps - 1), jnp.float32) for _ in range(stages)
     ]
+
+
+def cascade_tails_from_tail(
+    tail: tuple[jax.Array, jax.Array],
+    rtaps: jnp.ndarray,
+    stages: int,
+) -> list[jax.Array]:
+    """Canonical per-stage histories ``[2, C, 10]`` re-derived from a
+    stream TAIL (the last ``pallas.frontend.warmup_len(stages)`` samples
+    of a cascade's input, already mixed).
+
+    An FIR cascade forgets its initialization after its extent, so running
+    the tail through a ZERO-initialized cascade leaves every stage's last
+    10 input samples — exactly the streaming state — bit-correct.  This is
+    what lets the stateless composite Pallas kernel coexist with the
+    canonical (per-stage-history) checkpoint layout: the step re-derives
+    the histories from the tail it has anyway (compiler/_front,
+    dist/sharded.py).  ``tail`` lengths must be warmup_len-sized (power-of
+    -two multiple, long enough per warmup_len's guarantee)."""
+    from .fir import conv_block_planar, fir_history_init_planar
+
+    c = tail[0].shape[0]
+    y = tail
+    tails: list[jax.Array] = []
+    for _s in range(stages):
+        tails.append(jnp.stack([y[0][:, -10:], y[1][:, -10:]]))
+        _, y = conv_block_planar(
+            fir_history_init_planar(c, 11), y, rtaps, stride=2
+        )
+    return tails
 
 
 def cascade_apply_planar(

@@ -97,6 +97,13 @@ def advance_per_block(state: dict, fs: int, t_len: int) -> jax.Array:
     return (state["phase"] + block_step_mod(state, fs, t_len)) % fs
 
 
+def phase_minus(state: dict, fs: int, n: int) -> jax.Array:
+    """Phase ``n`` samples BEFORE the carried phase (exact uint32):
+    what a warm-up-prefixed kernel or a derived-tail mix starts from."""
+    back = block_step_mod(state, fs, n)
+    return (state["phase"] + (jnp.uint32(fs) - back)) % jnp.uint32(fs)
+
+
 def mix_block(
     state: dict, x: jax.Array, fs: int, conj: bool = False
 ) -> tuple[dict, jax.Array]:

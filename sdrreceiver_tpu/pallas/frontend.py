@@ -5,28 +5,43 @@ Covers reference hot loops 2-3 (SURVEY.md section 3.3): per-sample NCO mixing
 (halfbanddecimator.cpp:43-72) — fused into ONE kernel so the full-rate stream
 is read from HBM once and every intermediate stays in VMEM.
 
-Formulation (chosen for the MXU and for Mosaic-safe ops only):
+Formulation (round 4 — the "composite" kernel):
 
   * time is tiled as rows of 256 samples: ``[R, 256]`` f32 planes (I and Q
     separately — no complex dtypes on TPU)
-  * the NCO phasor is regenerated in-kernel from exact integer phase
-    arithmetic (same scheme as kernels.nco, zero drift) + VPU sin/cos
-  * each /2 stage is TWO banded-matrix dots on the MXU:
-        y = z @ Mz  +  shifted_tails @ Mt
-    where Mz[p, m] = c[2m - (p - ...)] encodes "conv + keep even phases" and
-    Mt injects the 10 cross-row history samples; lanes halve per stage
-    (256 -> 128 -> ... ) while R stays constant, so no reshapes are needed
-  * cross-row history = ``pltpu.roll`` by one row + masking row 0 with the
-    carried block-boundary state (the reference's FIRQueueBackToFront,
-    jonti/dsp.cpp:163-173, lives in VMEM scratch between grid steps)
+  * the NCO phasor is EXACT-integer-phase, rank-1 factored: sin/cos run on
+    r + 256 elements (row phasor x lane phasor), and the mix applies both
+    rotations as two broadcast complex FMAs
+  * the d-stage /2 cascade is collapsed by the noble identity into ONE
+    composite FIR h (x) (h^2) (x) ... (x) (h^(2^(d-1))) of length
+    10*(2^d - 1) + 1, evaluated at stride 2^d as banded-matrix MXU dots:
+
+        y = z @ M0 + prev1(z) @ M1 + ... + prevK(z) @ MK
+
+    where prev_k is the row-rolled plane (cross-row reach of the band) and
+    Mk[j, m] = hc[m*2^d - j + k*256].  One dot chain per plane replaces the
+    round-3 per-stage ladder (tail-extraction dot + roll + where + scratch
+    per stage per plane on skinny [r, 16] arrays), which profiling showed
+    dominated the kernel: the staged form cost ~80 us per channel at d=5
+    while its FLOPs are ~1 us — all shape overhead.  The composite form
+    also does FEWER MACs than the staged cascade (311/32 vs ~21 per input
+    sample at d=5).
+  * NO carried filter state: the caller prepends ``warmup_len(d)`` input
+    samples (the carried ``xtail`` state or the left time-shard's halo —
+    dist/sharded.py uses the identical scheme) and drops the warm-up
+    outputs; a zero-state FIR forgets its initialization after its extent,
+    so the post-warmup outputs are exactly the streamed ones.  Cross-TILE
+    continuity inside one call is a [1, 256] scratch row per plane per
+    prev-depth (whole-buffer writes only — Mosaic-safe).
   * grid = (channels, time_tiles); TPU grids iterate sequentially with the
     last axis fastest, so each channel streams its tiles in order while the
-    scratch carries its running tails; at tile 0 the scratch is (re)loaded
-    from that channel's carried state input
+    scratch carries its trailing rows; at tile 0 the scratch zeroes (the
+    warm-up prefix absorbs it)
 
 Mosaic notes (validated on TPU v5e): sublane-offset *writes* and row-merging
 reshapes hang or miscompile this backend's Mosaic pipeline — this kernel uses
-only full-block writes, lane-offset reads, roll, iota/where, and dots.
+only full-block writes, sublane/lane-offset reads, row rolls, iota/where,
+and dots.
 """
 
 from __future__ import annotations
@@ -41,22 +56,46 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..kernels import design
 
-__all__ = ["MixCascadeKernel", "supported", "warmup_len"]
+__all__ = ["MixCascadeKernel", "supported", "warmup_len", "composite_taps"]
 
-LANES = 256  # default input samples per row
+LANES = 256  # input samples per row
 _HIST = 10  # half-band history (11 taps - 1)
 
 
-def _tiling(t_len: int, stages: int) -> tuple[int, int] | None:
-    """Pick (lanes, rows) for the time tiling ``[rows, lanes]`` per tile.
+def composite_taps(stages: int, taps=None) -> np.ndarray:
+    """The d-stage /2 cascade as ONE input-rate FIR (noble identity):
+    ``hc = h * (h up 2) * (h up 4) * ...``, length ``10*(2^d - 1) + 1``;
+    the cascade output is ``y[m] = sum_q hc[q] x[2^d m - q]``.  float64
+    accumulation, f32 cast at the end."""
+    h = np.asarray(
+        design.half_band(11) if taps is None else taps, dtype=np.float64
+    )
+    hc = np.array([1.0])
+    for s in range(stages):
+        up = np.zeros((len(h) - 1) * (1 << s) + 1)
+        up[:: 1 << s] = h
+        hc = np.convolve(hc, up)
+    return hc.astype(np.float32)
 
-    Mosaic requires row-tile counts divisible by 8 unless the tile covers
-    the whole row axis, so r is either an 8-multiple divisor of rows_total
-    (preferring ~240-512: amortizes per-grid-step overhead while staying
-    VMEM-comfortable) or all of it.  Measured round 4: narrower lanes (128)
-    with more tiles ran ~4x SLOWER (tiny late-stage lane dims + per-step
-    overhead), and a full single tile of [1500, 256] is fine — so 256 lanes
-    is used unconditionally."""
+
+def warmup_len(stages: int) -> int:
+    """Input-halo length that washes out a zero-state composite cascade
+    filter, rounded up to a LANES multiple (whole rows).  The filter
+    extent is ``10*(2^d - 1)``; an extra ``10*2^(d-1)`` guarantees the
+    LAST stage's final 10 input samples are also exact, which is what
+    lets per-stage canonical histories be re-derived from a stream tail
+    (halfband.cascade_tails_from_tail).  Callers prepend this many
+    samples (carried xtail / left-shard halo) and drop
+    ``warmup_len >> stages`` outputs."""
+    need = 10 * ((1 << stages) - 1) + 10 * (1 << max(stages - 1, 0))
+    return max(LANES, -(-need // LANES) * LANES)
+
+
+def _tiling(t_len: int, stages: int) -> tuple[int, int] | None:
+    """(lanes, rows) per tile: rows is an 8-multiple divisor of the row
+    count (Mosaic's sublane rule) or all of it; measured round 4: tile
+    count barely matters (320 us at 5, 15 or 125 tiles for the same work),
+    so any compliant choice is fine."""
     if t_len % LANES or (LANES >> stages) < 1:
         return None
     rows_total = t_len // LANES
@@ -67,21 +106,9 @@ def _tiling(t_len: int, stages: int) -> tuple[int, int] | None:
     return LANES, rows_total
 
 
-def warmup_len(stages: int) -> int:
-    """Input-halo length that washes a zero-initialized ``stages``-deep
-    half-band cascade: stage s's 10-sample history is determined by the last
-    ``10 * (2^{s+1} - 1)`` input samples, so after ``10 * (2^d - 1)`` inputs
-    every output (and every stage tail) is independent of the initial
-    histories.  Rounded up to a LANES multiple so a [halo | shard] extended
-    block keeps the kernel's tiling constraints.  This is what lets a
-    time-shard run the fused kernel with zero state: prepend this many
-    neighbor samples, drop ``warmup >> stages`` outputs (dist/sharded.py)."""
-    need = 10 * ((1 << stages) - 1)
-    return max(LANES, -(-need // LANES) * LANES)
-
-
 def supported(fs: int, stages: int, t_len: int) -> bool:
-    """Static shape constraints for the fused kernel."""
+    """Static shape constraints for the fused kernel (``t_len`` INCLUDES
+    the warm-up prefix)."""
     if stages > 7:
         return False
     tiling = _tiling(t_len, stages)
@@ -100,46 +127,43 @@ def supported(fs: int, stages: int, t_len: int) -> bool:
     return True
 
 
-def _band_matrices(taps: np.ndarray, stages: int, lanes: int):
-    """Per-stage (Mz [l, l/2], Mt [16, l/2]) banded matrices.
+def _band_matrices(hc: np.ndarray, stages: int, lanes: int):
+    """(n_prev + 1) banded matrices [lanes, lanes >> d]:
 
-    Output m of a row = conv at flat position 2m:  y[m] = sum_k c[k] z[2m-k],
-    with z[-10..-1] provided by the tail block (placed at Mt rows 6..15,
-    row j of Mt = sample offset j-16).
-    """
+        y[row, m] = sum_k  prev_k(z)[row] @ Mk[:, m]
+
+    where prev_k is z rolled back k rows; Mk[j, m] = hc[m*2^d - j + k*lanes]
+    (column j of prev_k holds z[(row-k)*lanes + j])."""
+    l_out = lanes >> stages
+    dec = 1 << stages
+    n_prev = -(-(len(hc) - 1) // lanes)
     mats = []
-    c = taps.astype(np.float32)
-    for s in range(stages):
-        l = lanes >> s
-        mz = np.zeros((l, l // 2), np.float32)
-        mt = np.zeros((16, l // 2), np.float32)
-        for m in range(l // 2):
-            for p in range(l):
-                k = 2 * m - p
-                if 0 <= k <= _HIST:
-                    mz[p, m] = c[k]
-            for j in range(16):
-                k = 2 * m - (j - 16)
-                if 0 <= k <= _HIST:
-                    mt[j, m] = c[k]
-        # tail-extraction placement: tails16 = z @ pq puts the row's last 10
-        # samples at slots 6..15 (scatter/.at[].set has no Mosaic lowering)
-        pq = np.zeros((l, 16), np.float32)
-        for j in range(_HIST):
-            pq[l - _HIST + j, 6 + j] = 1.0
-        mats.append((mz, mt, pq))
+    for k in range(n_prev + 1):
+        m = np.zeros((lanes, l_out), np.float32)
+        for out in range(l_out):
+            for j in range(lanes):
+                q = out * dec - j + k * lanes
+                if 0 <= q < len(hc):
+                    m[j, out] = hc[q]
+        mats.append(m)
     return mats
 
 
 class MixCascadeKernel:
     """Compiled fused front end for one (channel-batch, schedule) pair.
 
-    ``__call__(phase, hists, xr, xi) -> (yr, yi, new_hists)`` where
-      phase  int32 ``[C]`` NCO phase numerators (cycles * fs)
-      hists  f32 ``[stages, C, 16]`` carried tails (last 10 samples per stage
-             in slots 6..15, matching Mt's row layout)
-      xr/xi  f32 ``[C, T]`` input planes
-      yr/yi  f32 ``[C, T >> stages]`` decimated output planes
+    ``__call__(phase, xr, xi) -> (yr, yi)`` where
+      phase  int32 ``[C]`` NCO phase numerators at the FIRST input sample
+             (callers feeding a warm-up prefix pass the phase at the
+             prefix start — see ``phase_back`` for the exact offset math)
+      xr/xi  f32 ``[C, T]`` (or ``[1, T]`` with shared_input) planes,
+             warm-up prefix included
+      yr/yi  f32 ``[C, T >> stages]`` decimated output planes (drop the
+             first ``warmup_len >> stages`` columns for streamed outputs)
+
+    Stateless by design: streaming continuity comes from the warm-up
+    prefix (see module docstring), which is also what makes the SAME
+    kernel per-time-shard-callable under shard_map (dist/sharded.py).
     """
 
     def __init__(
@@ -185,9 +209,12 @@ class MixCascadeKernel:
             "default": jax.lax.Precision.DEFAULT,
             "highest": jax.lax.Precision.HIGHEST,
         }[precision]
-        taps = design.half_band(11) if taps is None else np.asarray(taps)
-        self.mats = _band_matrices(taps, stages, self.lanes)
+        self.hc = composite_taps(stages, taps)
+        self.mats = _band_matrices(self.hc, stages, self.lanes)
+        self.n_prev = len(self.mats) - 1
         self.n_tiles = t_len // (self.lanes * self.rows)
+        if self.n_prev > self.rows:
+            raise ValueError("tile too short for the composite band reach")
 
         f = np.mod(np.asarray(freqs_hz, dtype=np.int64), fs).astype(np.int64)
         if f.shape != (channels,):
@@ -200,47 +227,42 @@ class MixCascadeKernel:
         ).astype(np.int32)  # per-tile step
         self._call = jax.jit(self._build())
 
+    def phase_back(self, phase, n_back: int):
+        """Phase ``n_back`` samples BEFORE ``phase`` (uint32 [C] exact):
+        what __call__ wants when the input is prefixed with n_back warm-up
+        samples."""
+        back = (self.f_mod.astype(np.int64) * n_back) % self.fs
+        return (
+            phase.astype(jnp.uint32)
+            + jnp.asarray((self.fs - back).astype(np.uint32))
+        ) % jnp.uint32(self.fs)
+
     # ------------------------------------------------------------------
     def _build(self):
         c_chan, d, fs = self.c, self.d, self.fs
         r, n_tiles = self.rows, self.n_tiles
         lanes = self.lanes
         l_out = lanes >> d
+        n_prev = self.n_prev
         mats = self.mats
         dot_prec = self.precision
         two_pi_over_fs = np.float32(2.0 * np.pi / fs)
 
         def kernel(scal_ref, xr_ref, xi_ref, *refs):
-            # refs: d*(mz, mt, pq) consts, then 2d hist-in, then outputs:
-            mz_refs = [refs[3 * s] for s in range(d)]
-            mt_refs = [refs[3 * s + 1] for s in range(d)]
-            pq_refs = [refs[3 * s + 2] for s in range(d)]
-            base = 3 * d
-            hin_refs = refs[base : base + 2 * d]  # per stage: r-plane, i-plane
-            base += 2 * d
-            yr_ref, yi_ref = refs[base], refs[base + 1]
-            hr_out = refs[base + 2 : base + 2 + 2 * d]
-            scratch = refs[base + 2 + 2 * d :]  # 2d VMEM [1, 16] tails
+            m_refs = refs[: n_prev + 1]
+            yr_ref, yi_ref = refs[n_prev + 1], refs[n_prev + 2]
+            # per plane, n_prev trailing-row buffers [1, lanes]
+            scr = refs[n_prev + 3 :]
 
             ci = pl.program_id(0)
             ti = pl.program_id(1)
 
-            # (re)load carried tails at each channel's first tile
             @pl.when(ti == 0)
             def _():
-                for s in range(2 * d):
-                    scratch[s][:, :] = hin_refs[s][0, :, :]
+                for s in scr:
+                    s[:, :] = jnp.zeros_like(s[:, :])
 
             # ---- NCO phasor from exact integer phase, rank-1 factored ----
-            # theta(row, lane) = theta_row(row) + theta_lane(lane): the
-            # [r, lanes] phasor is the outer product of an [r, 1] row
-            # phasor and a [1, lanes] lane phasor.  sin/cos run on r+lanes
-            # elements instead of r*lanes (the full-rate transcendentals
-            # were the single largest cost of the round-3 kernel), and the
-            # mix applies both rotations as two cheap complex FMAs.  Both
-            # factors use EXACT integer residues; the only extra rounding
-            # is one f32 product per sample (~1e-7, far under the 60 dB
-            # audio bound).
             phase0 = scal_ref[0, ci]
             f_mod = scal_ref[1, ci]
             a_row = scal_ref[2, ci]
@@ -261,47 +283,34 @@ class MixCascadeKernel:
             zr = ar * cr - ai * sr  # row rotation (broadcast over lanes)
             zi = ar * sr + ai * cr
 
-            # ---- cascade ----
-            row0 = jax.lax.broadcasted_iota(jnp.int32, (r, 16), 0) == 0
-            planes = [zr, zi]
-            for s in range(d):
-                l = lanes >> s
-                mz = mz_refs[s][:, :]
-                mt = mt_refs[s][:, :]
-                pq = pq_refs[s][:, :]
-                for p in range(2):
-                    z = planes[p]
-                    # pq is a 0/1 selector; the copy must stay exact, and
-                    # Mosaic lowers only DEFAULT/HIGHEST dots (DEFAULT
-                    # would round the copied tails to bf16)
-                    tails = jnp.dot(
-                        z,
-                        pq,
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
-                    )
-                    rolled = pltpu.roll(tails, 1, 0)
-                    carried = scratch[2 * s + p][:, :]  # [1, 16], broadcasts
-                    shifted = jnp.where(row0, carried, rolled)
-                    # stash this tile's last-row tails for the next tile
-                    scratch[2 * s + p][:, :] = rolled[0:1, :]
-                    y = jnp.dot(
-                        z,
-                        mz,
-                        preferred_element_type=jnp.float32,
-                        precision=dot_prec,
-                    ) + jnp.dot(
-                        shifted,
-                        mt,
+            # ---- composite cascade: one banded dot chain per plane ----
+            for p, (z, y_ref) in enumerate(((zr, yr_ref), (zi, yi_ref))):
+                sc = scr[p * n_prev : (p + 1) * n_prev]
+                acc = jnp.dot(
+                    z,
+                    m_refs[0][:, :],
+                    preferred_element_type=jnp.float32,
+                    precision=dot_prec,
+                )
+                for k in range(1, n_prev + 1):
+                    prev = pltpu.roll(z, k, 0)
+                    # rows j < k belong to the previous tile: trailing-row
+                    # scratch sc[n_prev - k + j] (zeros at tile 0)
+                    for j in range(k):
+                        prev = jnp.where(
+                            row_i == j, sc[n_prev - k + j][0:1, :], prev
+                        )
+                    acc = acc + jnp.dot(
+                        prev,
+                        m_refs[k][:, :],
                         preferred_element_type=jnp.float32,
                         precision=dot_prec,
                     )
-                    planes[p] = y
-
-            yr_ref[0, :, :] = planes[0]
-            yi_ref[0, :, :] = planes[1]
-            for s in range(2 * d):
-                hr_out[s][0, :, :] = scratch[s][:, :]
+                y_ref[0, :, :] = acc
+                # stash this tile's trailing rows for the next tile
+                # (whole-buffer writes only; sublane-offset READS are fine)
+                for j in range(n_prev):
+                    sc[j][:, :] = z[r - n_prev + j : r - n_prev + j + 1, :]
 
         # ---- pallas_call wiring ----
         grid = (c_chan, n_tiles)
@@ -313,41 +322,26 @@ class MixCascadeKernel:
             pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars [4, C]
             pl.BlockSpec((1, r, lanes), x_index, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, r, lanes), x_index, memory_space=pltpu.VMEM),
+        ] + [
+            pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(n_prev + 1)
         ]
-        for s in range(self.d):
-            in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # mz
-            in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # mt
-            in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # pq
-        for _ in range(2 * self.d):  # hist in [C, 1, 16]
-            in_specs.append(
-                pl.BlockSpec((1, 1, 16), lambda ci, ti: (ci, 0, 0), memory_space=pltpu.VMEM)
-            )
-
         out_shapes = [
             jax.ShapeDtypeStruct((c_chan, n_tiles * r, l_out), jnp.float32),
             jax.ShapeDtypeStruct((c_chan, n_tiles * r, l_out), jnp.float32),
-        ] + [
-            jax.ShapeDtypeStruct((c_chan, 1, 16), jnp.float32)
-            for _ in range(2 * self.d)
         ]
         out_specs = [
-            pl.BlockSpec((1, r, l_out), lambda ci, ti: (ci, ti, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, r, l_out), lambda ci, ti: (ci, ti, 0), memory_space=pltpu.VMEM),
-        ] + [
-            pl.BlockSpec((1, 1, 16), lambda ci, ti: (ci, 0, 0), memory_space=pltpu.VMEM)
-            for _ in range(2 * self.d)
+            pl.BlockSpec((1, r, l_out), lambda ci, ti: (ci, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r, l_out), lambda ci, ti: (ci, ti, 0),
+                         memory_space=pltpu.VMEM),
         ]
-        scratch_shapes = [pltpu.VMEM((1, 16), jnp.float32) for _ in range(2 * self.d)]
-
-        mats_flat = []
-        for mz, mt, pq in mats:
-            mats_flat += [mz, mt, pq]
+        scratch_shapes = [
+            pltpu.VMEM((1, lanes), jnp.float32) for _ in range(2 * n_prev)
+        ]
         interpret = self.interpret
-
         shared = self.shared_input
 
-        def call(phase, hists, xr, xi):
-            # hists [d, C, 2, 16] -> per-(stage,plane) [C, 1, 16] inputs
+        def call(phase, xr, xi):
             scal = jnp.stack(
                 [
                     phase.astype(jnp.int32),
@@ -359,10 +353,6 @@ class MixCascadeKernel:
             n_in = 1 if shared else c_chan
             xr3 = xr.reshape(n_in, n_tiles * r, lanes)
             xi3 = xi.reshape(n_in, n_tiles * r, lanes)
-            hist_args = []
-            for s in range(d):
-                for p in range(2):
-                    hist_args.append(hists[s, :, p, :].reshape(c_chan, 1, 16))
             outs = pl.pallas_call(
                 kernel,
                 grid=grid,
@@ -371,28 +361,11 @@ class MixCascadeKernel:
                 out_specs=out_specs,
                 scratch_shapes=scratch_shapes,
                 interpret=interpret,
-            )(scal, xr3, xi3, *mats_flat, *hist_args)
-            yr = outs[0].reshape(c_chan, -1)
-            yi = outs[1].reshape(c_chan, -1)
-            if d == 0:
-                return yr, yi, hists
-            new_h = jnp.stack(
-                [
-                    jnp.stack(
-                        [outs[2 + 2 * s][:, 0, :], outs[2 + 2 * s + 1][:, 0, :]],
-                        axis=1,
-                    )
-                    for s in range(d)
-                ]
-            )
-            return yr, yi, new_h
+            )(scal, xr3, xi3, *(jnp.asarray(m) for m in self.mats))
+            return outs[0].reshape(c_chan, -1), outs[1].reshape(c_chan, -1)
 
         return call
 
     # ------------------------------------------------------------------
-    def init_hists(self) -> jnp.ndarray:
-        """Zero carried tails: ``[stages, C, 2, 16]`` (slots 6..15 live)."""
-        return jnp.zeros((self.d, self.c, 2, 16), jnp.float32)
-
-    def __call__(self, phase, hists, xr, xi):
-        return self._call(phase, hists, xr, xi)
+    def __call__(self, phase, xr, xi):
+        return self._call(phase, xr, xi)

@@ -22,27 +22,37 @@ def jnp_reference(freqs, fs, stages, x):
 
 
 def run_fused(freqs, fs, stages, x, chunks=1):
+    """Drive the STATELESS composite kernel like the compiler does:
+    chunk i is prefixed with the previous chunk's trailing warmup samples
+    (zeros at stream start — the zero-history convention), the kernel's
+    phase is rewound to the prefix start, and warm-up outputs are
+    dropped."""
+    from sdrreceiver_tpu.pallas.frontend import warmup_len
+
     c = len(freqs)
     t_len = x.shape[-1] // chunks
-    k = MixCascadeKernel(c, stages, fs, freqs, t_len, interpret=True)
-    phase = jnp.zeros((c,), jnp.int32)
-    hists = k.init_hists()
+    warm = warmup_len(stages)
+    k = MixCascadeKernel(c, stages, fs, freqs, t_len + warm, interpret=True)
+    st = nco.nco_init(freqs, fs)
     outs = []
     xr = jnp.asarray(np.real(x).astype(np.float32))
     xi = jnp.asarray(np.imag(x).astype(np.float32))
     if xr.ndim == 1:
         xr = jnp.broadcast_to(xr, (c, xr.shape[0]))
         xi = jnp.broadcast_to(xi, (c, xi.shape[0]))
+    prev_r = jnp.zeros((c, warm), jnp.float32)
+    prev_i = jnp.zeros((c, warm), jnp.float32)
     for i in range(chunks):
         sl = slice(i * t_len, (i + 1) * t_len)
-        yr, yi, hists = k(phase, hists, xr[:, sl], xi[:, sl])
-        phase = jnp.asarray(nco.advance_per_block(
-            {"phase": phase.astype(jnp.uint32),
-             "f": jnp.asarray(np.mod(freqs, fs).astype(np.uint32)),
-             "fK": jnp.asarray((np.mod(freqs, fs).astype(np.int64) * 2048 % fs).astype(np.uint32))},
-            fs, t_len,
-        ), dtype=jnp.int32)
-        outs.append(np.asarray(yr) + 1j * np.asarray(yi))
+        ext_r = jnp.concatenate([prev_r, xr[:, sl]], axis=-1)
+        ext_i = jnp.concatenate([prev_i, xi[:, sl]], axis=-1)
+        ph = nco.phase_minus(st, fs, warm)
+        yr, yi = k(ph, ext_r, ext_i)
+        drop = warm >> stages
+        outs.append(np.asarray(yr[:, drop:]) + 1j * np.asarray(yi[:, drop:]))
+        prev_r, prev_i = ext_r[:, -warm:], ext_i[:, -warm:]
+        st = dict(st)
+        st["phase"] = nco.advance_per_block(st, fs, t_len)
     return np.concatenate(outs, axis=-1)
 
 

@@ -1,7 +1,8 @@
 """One-session probe of MixCascadeKernel cost vs (channels, stages, tiling).
 
-The g0/b1 bucket kernel (C=11, d=5, t=384000) measures ~3x more than 11x its
-C=1 twin; this probes which axis causes the super-linearity.
+Compiles every case FIRST, then times all cases round-robin (3 rounds,
+min), so the remote session's minute-scale drift cannot corrupt the
+between-case comparison the way sequential compile+time runs did.
 
     python tools/kernel_probe.py
 """
@@ -16,72 +17,79 @@ import time
 import numpy as np
 
 
-def _time_kernel(kern, n1=2, n2=6):
+def main() -> int:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import jax
     import jax.numpy as jnp
 
-    rng = np.random.default_rng(0)
-    n_in = 1 if kern.shared_input else kern.c
-    xs = jax.device_put(jnp.asarray(
-        rng.standard_normal((n2, 2, n_in, kern.t_len)).astype(np.float32)
-    ))
-    phase = jnp.zeros((kern.c,), jnp.int32)
-    h0 = kern.init_hists()
-
-    @jax.jit
-    def prog(xs):
-        def b(carry, x):
-            h, acc = carry
-            yr, yi, h2 = kern(phase, h, x[0], x[1])
-            return (h2, acc + jnp.sum(jnp.abs(yr)) + jnp.sum(jnp.abs(yi))), None
-        (_, s), _ = jax.lax.scan(b, (h0, jnp.zeros((), jnp.float32)), xs)
-        return s
-
-    t = {}
-    for n in (n1, n2):
-        x_in = xs[:n]
-        _ = float(prog(x_in))
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            _ = float(prog(x_in))
-            best = min(best, time.perf_counter() - t0)
-        t[n] = best
-    return (t[n2] - t[n1]) / (n2 - n1) * 1e6
-
-
-def main() -> int:
-    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from sdrreceiver_tpu.pallas.frontend import MixCascadeKernel
 
-    fs, t = 384000, 384000
+    rng = np.random.default_rng(0)
     freqs = lambda c: np.arange(1, c + 1) * 1000
+
     cases = [
-        ("c1_d5_shared", dict(channels=1, stages=5, shared_input=True)),
-        ("c2_d5_shared", dict(channels=2, stages=5, shared_input=True)),
-        ("c4_d5_shared", dict(channels=4, stages=5, shared_input=True)),
-        ("c11_d5_shared", dict(channels=11, stages=5, shared_input=True)),
-        ("c11_d2_shared", dict(channels=11, stages=2, shared_input=True)),
-        ("c11_d5_private", dict(channels=11, stages=5, shared_input=False)),
-        # grid-step overhead sweep: same work (g0-group shape, 1.536 Ms,
-        # d=2), tile count 15 / 125 / 4 — if cost tracks tiles, the
-        # per-grid-step fixed overhead dominates the kernel budget
-        ("g0_r400_t15", dict(channels=1, stages=2, shared_input=False,
-                             t_len=1536000, rows=400)),
-        ("g0_r48_t125", dict(channels=1, stages=2, shared_input=False,
-                             t_len=1536000, rows=48)),
-        ("g0_r1200_t5", dict(channels=1, stages=2, shared_input=False,
-                             t_len=1536000, rows=1200)),
+        # bucket-kernel shapes (fs=t=384000, shared input)
+        ("c1_d5", dict(c=1, d=5, fs=384000, t=384000, shared=True)),
+        ("c11_d5", dict(c=11, d=5, fs=384000, t=384000, shared=True)),
+        ("c11_d2", dict(c=11, d=2, fs=384000, t=384000, shared=True)),
+        # group-kernel tile sweep (fs=t=1536000, d=2)
+        ("g0_r400_t15", dict(c=1, d=2, fs=1536000, t=1536000, rows=400)),
+        ("g0_r1200_t5", dict(c=1, d=2, fs=1536000, t=1536000, rows=1200)),
+        ("g0_r48_t125", dict(c=1, d=2, fs=1536000, t=1536000, rows=48)),
     ]
+
+    # sub-ms kernels need LONG scans so the device time dwarfs the tunnel's
+    # tens-of-ms RTT jitter: iterate n times over 8 distinct resident
+    # blocks (distinct so XLA cannot hoist; n passed statically)
+    n1, n2 = 16, 96
+    progs = {}
     for name, kw in cases:
-        t_len = kw.pop("t_len", t)
-        rows = kw.pop("rows", None)
         kern = MixCascadeKernel(
-            kw["channels"], kw["stages"], fs if t_len == t else 1536000,
-            freqs(kw["channels"]), t_len,
-            shared_input=kw["shared_input"], rows=rows,
+            kw["c"], kw["d"], kw["fs"], freqs(kw["c"]), kw["t"],
+            shared_input=kw.get("shared", False), rows=kw.get("rows"),
         )
-        us = _time_kernel(kern)
+        n_in = 1 if kern.shared_input else kern.c
+        xs = jax.device_put(jnp.asarray(
+            rng.standard_normal((8, 2, n_in, kern.t_len)).astype(np.float32)
+        ))
+        phase = jnp.zeros((kern.c,), jnp.uint32)
+
+        def make(n, kern=kern, phase=phase):
+            @jax.jit
+            def prog(xs):
+                def b(acc, i):
+                    x = jax.lax.dynamic_index_in_dim(
+                        xs, i % 8, keepdims=False
+                    )
+                    yr, yi = kern(phase, x[0], x[1])
+                    return (
+                        acc + jnp.sum(jnp.abs(yr)) + jnp.sum(jnp.abs(yi))
+                    ), None
+                s, _ = jax.lax.scan(
+                    b, jnp.zeros((), jnp.float32),
+                    jnp.arange(n, dtype=jnp.int32),
+                )
+                return s
+            return prog
+
+        p1, p2 = make(n1), make(n2)
+        _ = float(p1(xs))  # compile both sizes now
+        _ = float(p2(xs))
+        progs[name] = (p1, p2, xs, kern)
+        print(f"compiled {name} rows={kern.rows} tiles={kern.n_tiles}",
+              file=sys.stderr, flush=True)
+
+    best = {name: {n1: float("inf"), n2: float("inf")} for name, _ in cases}
+    for _round in range(3):
+        for name, _ in cases:
+            p1, p2, xs, _k = progs[name]
+            for n, prog in ((n1, p1), (n2, p2)):
+                t0 = time.perf_counter()
+                _ = float(prog(xs))
+                best[name][n] = min(best[name][n], time.perf_counter() - t0)
+    for name, kw in cases:
+        _p1, _p2, _x, kern = progs[name]
+        us = (best[name][n2] - best[name][n1]) / (n2 - n1) * 1e6
         print(json.dumps({"case": name, "rows": kern.rows,
                           "tiles": kern.n_tiles, "us": round(us, 1)}),
               flush=True)

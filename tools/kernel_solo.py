@@ -38,21 +38,19 @@ def main() -> int:
     rng = np.random.default_rng(0)
 
     n1, n2 = (2, 8) if on_tpu else (2, 4)
-    for key, kern in rx._kernels.items():
+    for key, (kern, warm) in rx._kernels.items():
         n_in = 1 if kern.shared_input else kern.c
         xs = jax.device_put(jnp.asarray(
             rng.standard_normal((n2, 2, n_in, kern.t_len)).astype(np.float32)
         ))
-        phase = jnp.zeros((kern.c,), jnp.int32)
-        h0 = kern.init_hists()
+        phase = jnp.zeros((kern.c,), jnp.uint32)
 
         @jax.jit
-        def prog(xs, kern=kern, phase=phase, h0=h0):
-            def b(carry, x):
-                h, acc = carry
-                yr, yi, h2 = kern(phase, h, x[0], x[1])
-                return (h2, acc + jnp.sum(jnp.abs(yr)) + jnp.sum(jnp.abs(yi))), None
-            (_, s), _ = jax.lax.scan(b, (h0, jnp.zeros((), jnp.float32)), xs)
+        def prog(xs, kern=kern, phase=phase):
+            def b(acc, x):
+                yr, yi = kern(phase, x[0], x[1])
+                return acc + jnp.sum(jnp.abs(yr)) + jnp.sum(jnp.abs(yi)), None
+            s, _ = jax.lax.scan(b, jnp.zeros((), jnp.float32), xs)
             return s
 
         t = {}

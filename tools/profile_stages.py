@@ -72,12 +72,21 @@ def _build_variant(rx, stage: str):
                 bk = f"{gk}/b{bi}"
                 bs = state[gk][f"b{bi}"]
                 if bk in rx._kernels and cut >= 4:
-                    # fused mix+cascade (cannot be cut mid-kernel)
-                    yr, yi, _ = rx._kernels[bk](
-                        bs["nco"]["phase"].astype(jnp.int32),
-                        bs["cascade_p"], zr, zi,
+                    # fused mix+cascade (cannot be cut mid-kernel):
+                    # stateless composite kernel with the derived warm-up
+                    # prefix, exactly as CompiledReceiver._bucket_step
+                    kern, warm = rx._kernels[bk]
+                    ztr, zti = rx._prev_group_tail(state, g, warm)
+                    ph = nco.phase_minus(
+                        bs["nco"], b.mix_fs(g.out_rate), warm
                     )
-                    y = (yr, yi)
+                    yr, yi = kern(
+                        ph,
+                        jnp.concatenate([ztr, zr], axis=-1),
+                        jnp.concatenate([zti, zi], axis=-1),
+                    )
+                    drop = warm >> b.stages
+                    y = (yr[:, drop:], yi[:, drop:])
                     if b.late_factor > 1:
                         _, y = fir.conv_block_planar(
                             bs["late"], y, rx._consts[f"{bk}/late"],
