@@ -85,17 +85,17 @@ class ShardedReceiver(CompiledReceiver):
         return False  # time shards use the halo DC path (dist/halo)
 
     def _build_shard_kernels(self) -> None:
-        from ..pallas.frontend import MixCascadeKernel, supported, warmup_len
+        from ..pallas.frontend import MixCascadeKernel, pick_warmup, supported
 
         t_local = self.block // self.n_time
         for g in self.plan.groups:
             if g.direct or g.stages < 1:
                 continue
-            p = warmup_len(g.stages)
-            if t_local < p or not supported(
+            p = pick_warmup(g.stages, t_local, self.plan.fs)
+            if t_local < p or p > self.xtail_len() or not supported(
                 self.plan.fs, g.stages, t_local + p
             ):
-                continue
+                continue  # (xtail must cover shard 0's halo slice)
             kern = MixCascadeKernel(
                 1,
                 g.stages,

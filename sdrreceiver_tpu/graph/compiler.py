@@ -181,9 +181,9 @@ class CompiledReceiver:
             return None
         if not self.xtail_len():
             return None  # no carried tail to warm the stateless kernels
-        from ..pallas.frontend import MixCascadeKernel, supported, warmup_len
+        from ..pallas.frontend import MixCascadeKernel, pick_warmup, supported
 
-        warm = warmup_len(stages)
+        warm = pick_warmup(stages, t_len, fs)
         if not supported(fs, stages, t_len + warm):
             return None
         self._kernels[key] = (
@@ -270,17 +270,22 @@ class CompiledReceiver:
         warm-up AT THE INPUT RATE plus the group washout), and the
         sharded front's shard-0 halo (dist/sharded.py).  0 = no cascaded
         groups, leaf absent."""
-        from ..pallas.frontend import warmup_len
+        from ..pallas.frontend import pick_warmup, warmup_len
 
         ps = []
         for g in self.plan.groups:
             if g.direct or g.stages < 1:
                 continue
-            wg = warmup_len(g.stages)
-            ps.append(wg)
+            # pick_warmup-padded lengths so the tail covers exactly what
+            # the built kernels prepend (kernel warm-up may exceed the
+            # washout minimum for tiling reasons)
+            wg_washout = warmup_len(g.stages)
+            ps.append(pick_warmup(g.stages, self.block, self.plan.fs))
+            tg = self.block >> g.stages
             for b in g.buckets:
                 if b.stages >= 1:
-                    ps.append((1 << g.stages) * warmup_len(b.stages) + wg)
+                    wb = pick_warmup(b.stages, tg, b.mix_fs(g.out_rate))
+                    ps.append((1 << g.stages) * wb + wg_washout)
         p = max(ps, default=0)
         return p if 0 < p <= self.block else 0
 

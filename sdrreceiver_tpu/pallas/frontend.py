@@ -56,7 +56,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..kernels import design
 
-__all__ = ["MixCascadeKernel", "supported", "warmup_len", "composite_taps"]
+__all__ = [
+    "MixCascadeKernel",
+    "supported",
+    "warmup_len",
+    "pick_warmup",
+    "composite_taps",
+]
 
 LANES = 256  # input samples per row
 _HIST = 10  # half-band history (11 taps - 1)
@@ -89,6 +95,35 @@ def warmup_len(stages: int) -> int:
     ``warmup_len >> stages`` outputs."""
     need = 10 * ((1 << stages) - 1) + 10 * (1 << max(stages - 1, 0))
     return max(LANES, -(-need // LANES) * LANES)
+
+
+def pick_warmup(stages: int, data_len: int, fs: int) -> int:
+    """Warm-up length for a kernel over ``data_len`` samples: at least
+    :func:`warmup_len`, padded by whole rows so ``data_len + warm`` tiles
+    well.  The padding matters because the int32 phase bound caps the row
+    count per tile at ``2^31 / fs`` — e.g. 1.536 Ms + one warm-up row is
+    6001 rows, which has no 8-multiple divisor, forcing an unsupported
+    6001-row single tile; +48 rows tiles as 27 x 224.  Extra warm-up is
+    harmless (more washout, more dropped outputs, <=2% extra samples);
+    the largest supported per-tile row count wins (ties -> least warm)."""
+    base = warmup_len(stages)
+    fallback = None
+    for extra in range(65):
+        warm = base + extra * LANES
+        t = data_len + warm
+        if t % LANES:
+            break  # data_len not row-aligned; padding can't fix that
+        if not supported(fs, stages, t):
+            continue
+        if fallback is None:
+            fallback = warm
+        lanes, r = _tiling(t, stages)
+        # smallest warm whose tiling is decent: one full-axis tile (the
+        # best-measured shape when the phase bound allows it) or >= 32
+        # rows per tile (tile-count penalties are mild beyond that)
+        if r == t // lanes or r >= 32:
+            return warm
+    return base if fallback is None else fallback
 
 
 def _tiling(t_len: int, stages: int) -> tuple[int, int] | None:
@@ -204,11 +239,17 @@ class MixCascadeKernel:
             import os
 
             precision = os.environ.get("SDRX_PALLAS_PRECISION", "highest")
-        # Mosaic lowers only DEFAULT and HIGHEST dot precisions
-        self.precision = {
-            "default": jax.lax.Precision.DEFAULT,
-            "highest": jax.lax.Precision.HIGHEST,
-        }[precision]
+        # Mosaic lowers only DEFAULT and HIGHEST dot precisions natively;
+        # "bf16x3" hand-rolls a 3-pass split (z_hi@M_hi + z_lo@M_hi +
+        # z_hi@M_lo, all DEFAULT).  Measured r4 (same session): bf16x3 ==
+        # HIGHEST in cost (~1.44 ms step vs DEFAULT 0.78 ms) — Mosaic's
+        # HIGHEST is evidently already a bf16x3 pass — so HIGHEST is the
+        # default (full accuracy at the same price); DEFAULT stays
+        # available for experiments but bf16-rounds the filter taps
+        # (-54 dB response error) and the signal (-48 dB broadband).
+        if precision not in ("default", "highest", "bf16x3"):
+            raise ValueError(f"unknown precision {precision!r}")
+        self.prec_mode = precision
         self.hc = composite_taps(stages, taps)
         self.mats = _band_matrices(self.hc, stages, self.lanes)
         self.n_prev = len(self.mats) - 1
@@ -244,15 +285,36 @@ class MixCascadeKernel:
         lanes = self.lanes
         l_out = lanes >> d
         n_prev = self.n_prev
-        mats = self.mats
-        dot_prec = self.precision
+        prec_mode = self.prec_mode
+        split = prec_mode == "bf16x3"
+        if split:
+            # host-side split of each band matrix into exact bf16 head +
+            # f32 residual; the kernel gets both (ml_dtypes = numpy bf16,
+            # no device round-trip at build time)
+            import ml_dtypes
+
+            mats_hi = [
+                m.astype(ml_dtypes.bfloat16).astype(np.float32)
+                for m in self.mats
+            ]
+            mats_in = mats_hi + [
+                m - h for m, h in zip(self.mats, mats_hi)
+            ]
+        else:
+            mats_in = list(self.mats)
+        n_mats = len(mats_in)
+        dot_prec = {
+            "default": jax.lax.Precision.DEFAULT,
+            "highest": jax.lax.Precision.HIGHEST,
+            "bf16x3": jax.lax.Precision.DEFAULT,
+        }[prec_mode]
         two_pi_over_fs = np.float32(2.0 * np.pi / fs)
 
         def kernel(scal_ref, xr_ref, xi_ref, *refs):
-            m_refs = refs[: n_prev + 1]
-            yr_ref, yi_ref = refs[n_prev + 1], refs[n_prev + 2]
+            m_refs = refs[:n_mats]
+            yr_ref, yi_ref = refs[n_mats], refs[n_mats + 1]
             # per plane, n_prev trailing-row buffers [1, lanes]
-            scr = refs[n_prev + 3 :]
+            scr = refs[n_mats + 2 :]
 
             ci = pl.program_id(0)
             ti = pl.program_id(1)
@@ -284,14 +346,26 @@ class MixCascadeKernel:
             zi = ar * sr + ai * cr
 
             # ---- composite cascade: one banded dot chain per plane ----
+            def band_dot(op, k):
+                mh = m_refs[k][:, :]
+                if split:
+                    hi = op.astype(jnp.bfloat16).astype(jnp.float32)
+                    lo = op - hi
+                    ml = m_refs[n_prev + 1 + k][:, :]
+                    return (
+                        jnp.dot(hi, mh, preferred_element_type=jnp.float32,
+                                precision=dot_prec)
+                        + jnp.dot(lo, mh, preferred_element_type=jnp.float32,
+                                  precision=dot_prec)
+                        + jnp.dot(hi, ml, preferred_element_type=jnp.float32,
+                                  precision=dot_prec)
+                    )
+                return jnp.dot(op, mh, preferred_element_type=jnp.float32,
+                               precision=dot_prec)
+
             for p, (z, y_ref) in enumerate(((zr, yr_ref), (zi, yi_ref))):
                 sc = scr[p * n_prev : (p + 1) * n_prev]
-                acc = jnp.dot(
-                    z,
-                    m_refs[0][:, :],
-                    preferred_element_type=jnp.float32,
-                    precision=dot_prec,
-                )
+                acc = band_dot(z, 0)
                 for k in range(1, n_prev + 1):
                     prev = pltpu.roll(z, k, 0)
                     # rows j < k belong to the previous tile: trailing-row
@@ -300,12 +374,7 @@ class MixCascadeKernel:
                         prev = jnp.where(
                             row_i == j, sc[n_prev - k + j][0:1, :], prev
                         )
-                    acc = acc + jnp.dot(
-                        prev,
-                        m_refs[k][:, :],
-                        preferred_element_type=jnp.float32,
-                        precision=dot_prec,
-                    )
+                    acc = acc + band_dot(prev, k)
                 y_ref[0, :, :] = acc
                 # stash this tile's trailing rows for the next tile
                 # (whole-buffer writes only; sublane-offset READS are fine)
@@ -323,7 +392,7 @@ class MixCascadeKernel:
             pl.BlockSpec((1, r, lanes), x_index, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, r, lanes), x_index, memory_space=pltpu.VMEM),
         ] + [
-            pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(n_prev + 1)
+            pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(n_mats)
         ]
         out_shapes = [
             jax.ShapeDtypeStruct((c_chan, n_tiles * r, l_out), jnp.float32),
@@ -361,7 +430,7 @@ class MixCascadeKernel:
                 out_specs=out_specs,
                 scratch_shapes=scratch_shapes,
                 interpret=interpret,
-            )(scal, xr3, xi3, *(jnp.asarray(m) for m in self.mats))
+            )(scal, xr3, xi3, *(jnp.asarray(m) for m in mats_in))
             return outs[0].reshape(c_chan, -1), outs[1].reshape(c_chan, -1)
 
         return call

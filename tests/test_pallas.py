@@ -1,7 +1,7 @@
 """Fused mix+cascade Pallas kernel vs the jnp reference kernels.
 
 Runs in Pallas interpreter mode on CPU; the same kernel compiles on TPU
-(validated separately by tools/tpu_validate.py and the bench)."""
+(validated separately on hardware by tools/kernel_solo.py / kernel_ab.py and the bench)."""
 
 import jax.numpy as jnp
 import numpy as np
