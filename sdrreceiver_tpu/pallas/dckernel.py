@@ -33,10 +33,10 @@ __all__ = ["DcKernel", "dc_supported"]
 _LANES = 256
 
 
-def _rows_for(t_len: int) -> tuple[int, int] | None:
-    if t_len % _LANES:
+def _rows_for(t_len: int, lanes: int = _LANES) -> tuple[int, int] | None:
+    if t_len % lanes:
         return None
-    rows_total = t_len // _LANES
+    rows_total = t_len // lanes
     for cand in (512, 480, 448, 400, 384, 320, 256, 240, 192, 128, 96, 64,
                  48, 32, 16, 8):
         if rows_total % cand == 0:

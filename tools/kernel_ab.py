@@ -38,11 +38,11 @@ def main() -> int:
     for v in variants:
         if v == "xla":
             rxs[v] = CompiledReceiver(plan, block)
-        else:
-            os.environ["SDRX_PALLAS_PRECISION"] = v
-            rxs[v] = CompiledReceiver(
-                plan, block, use_pallas=on_tpu, pallas_interpret=not on_tpu
-            )
+            continue
+        os.environ["SDRX_PALLAS_PRECISION"] = v
+        rxs[v] = CompiledReceiver(
+            plan, block, use_pallas=on_tpu, pallas_interpret=not on_tpu
+        )
     os.environ.pop("SDRX_PALLAS_PRECISION", None)
 
     results = {}

@@ -56,7 +56,9 @@ def _build_variant(rx, stage: str):
         x = ingest.u8_iq_to_planar(raw)
         if cut == 0:
             return {"re": x[0], "im": x[1]}
-        if plan.dc_correct:
+        if plan.dc_correct and getattr(rx, "_dc_kernel", None) is not None:
+            _, x = rx._dc_kernel(state["dc"], x)
+        elif plan.dc_correct:
             _, x = dc.dc_block_planar(state["dc"], x)
         if cut == 1:
             return {"re": x[0], "im": x[1]}
