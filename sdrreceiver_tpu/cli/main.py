@@ -634,10 +634,27 @@ def cmd_run(args) -> int:
                 print(f"control socket on udp:{ctrl.port}", file=sys.stderr)
 
             def usb_blocks():
+                # elastic: a silent ring (stalled async read, unplugged
+                # dongle) triggers automatic device restarts with backoff
+                # before giving up — the reference stays alive but needs a
+                # manual restart (sdrj.cpp:107-123)
+                import time as _time
+
+                retries = 0
                 while True:
                     b = dev.ring.pop_raw(timeout_ms=5000)
                     if b is None:
-                        return
+                        if retries >= 5:
+                            print("usb stream lost; giving up after 5 "
+                                  "restart attempts", file=sys.stderr)
+                            return
+                        retries += 1
+                        print(f"usb stream silent; restart attempt "
+                              f"{retries}", file=sys.stderr)
+                        if not dev.restart():
+                            _time.sleep(min(2.0 * retries, 8.0))
+                        continue
+                    retries = 0
                     yield jnp.asarray(b)
 
             metrics = run_pipeline(
@@ -650,6 +667,7 @@ def cmd_run(args) -> int:
             )
             summary = metrics.summary()
             summary["ring"] = dev.ring.stats
+            summary["usb_restarts"] = dev.restarts
             if args._multihost:
                 summary["multihost"] = args._multihost
             print(json.dumps(summary))

@@ -177,6 +177,8 @@ class RtlUsbDevice:
         self._cb_ref = None  # keep the CFUNCTYPE object alive
         self.active = False
         self.dropped_blocks = 0
+        self.restarts = 0
+        self._params: tuple | None = None
 
     # -- configuration ----------------------------------------------------
     def set_center_freq(self, frequency: int) -> int:
@@ -204,6 +206,10 @@ class RtlUsbDevice:
     ) -> None:
         if self.active:
             raise RuntimeError("already streaming")
+        self._params = (
+            int(sample_rate), int(frequency), int(buflen_bytes),
+            int(gain_tenths_db), int(n_slots),
+        )
         lib = self._lib
         lib.rtlsdr_reset_buffer(self._dev)
         lib.rtlsdr_set_sample_rate(self._dev, int(sample_rate))
@@ -253,6 +259,35 @@ class RtlUsbDevice:
         if self.ring is not None:
             self.ring.close()
         self.active = False
+
+    def restart(self) -> bool:
+        """Full recovery attempt after a stalled/lost stream: stop, close
+        the (possibly dead) handle, re-open the same index, and restart
+        streaming with the last ``start`` parameters.  The reference keeps
+        its process alive but needs a manual restart (sdrj.cpp:107-123);
+        this is the automatic version the run loop calls when the ingest
+        ring goes silent.  Returns True when streaming again (with a NEW
+        ring — readers must re-read ``self.ring``)."""
+        if self._params is None:
+            return False
+        try:
+            self.stop()
+        except Exception:
+            self.active = False
+        if self._dev:
+            try:
+                self._lib.rtlsdr_close(self._dev)
+            except Exception:
+                pass
+            self._dev = ctypes.c_void_p()
+        if self._lib.rtlsdr_open(ctypes.byref(self._dev), self.index) != 0:
+            return False
+        try:
+            self.start(*self._params)
+        except RuntimeError:
+            return False
+        self.restarts += 1
+        return True
 
     def close(self) -> None:
         self.stop()

@@ -124,6 +124,28 @@ def test_ring_drops_when_consumer_stalls(rtl_env):
         assert stats["dropped"] == dev.dropped_blocks
 
 
+def test_restart_recovers_streaming(rtl_env):
+    """Elastic USB: restart() closes the (possibly dead) handle, re-opens
+    the same index, replays the start parameters, and streams into a NEW
+    ring — the automatic version of the reference's manual restart
+    (sdrj.cpp:107-123)."""
+    insp = _inspect(rtl_env)
+    fs = 1_536_000
+    with rtlusb.RtlUsbDevice(0) as dev:
+        dev.start(fs, 1_545_600_000, 2 * fs // 4, gain_tenths_db=240)
+        assert dev.ring.pop_raw(timeout_ms=5000) is not None
+        old_ring = dev.ring
+        assert dev.restart()
+        assert dev.restarts == 1
+        assert dev.active
+        assert dev.ring is not old_ring
+        # configuration replayed on the re-opened handle
+        assert insp.fake_get_sample_rate(0) == fs
+        assert insp.fake_get_gain(0) == 240
+        assert dev.ring.pop_raw(timeout_ms=5000) is not None
+    assert insp.fake_get_open(0) == 0
+
+
 def test_bias_tee_standalone_open_set_close(rtl_env):
     insp = _inspect(rtl_env)
     assert rtlusb.bias_tee_standalone(True, device_idx=1)
