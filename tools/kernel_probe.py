@@ -27,16 +27,18 @@ def main() -> int:
     rng = np.random.default_rng(0)
     freqs = lambda c: np.arange(1, c + 1) * 1000
 
+    from sdrreceiver_tpu.pallas.frontend import pick_warmup
+
     cases = [
-        # bucket-kernel shapes (fs=t=384000, shared input)
-        ("c1_d5", dict(c=1, d=5, fs=384000, t=384000, shared=True)),
-        ("c11_d5", dict(c=11, d=5, fs=384000, t=384000, shared=True)),
-        ("c11_d2", dict(c=11, d=2, fs=384000, t=384000, shared=True)),
-        # group-kernel tile sweep (fs=t=1536000, d=2)
-        ("g0_r400_t15", dict(c=1, d=2, fs=1536000, t=1536000, rows=400)),
-        ("g0_r1200_t5", dict(c=1, d=2, fs=1536000, t=1536000, rows=1200)),
-        ("g0_r48_t125", dict(c=1, d=2, fs=1536000, t=1536000, rows=48)),
+        # the flagship's five composite-kernel shapes (t includes warm-up)
+        ("g0_c1_d2", dict(c=1, d=2, fs=1536000, t=1536000)),
+        ("g1_c1_d3", dict(c=1, d=3, fs=1536000, t=1536000)),
+        ("b0_c1_d4", dict(c=1, d=4, fs=384000, t=384000, shared=True)),
+        ("b1_c11_d5", dict(c=11, d=5, fs=384000, t=384000, shared=True)),
+        ("g1b0_c15_d2", dict(c=15, d=2, fs=192000, t=192000, shared=True)),
     ]
+    for _n, kw in cases:
+        kw["t"] = kw["t"] + pick_warmup(kw["d"], kw["t"], kw["fs"])
 
     # sub-ms kernels need LONG scans so the device time dwarfs the tunnel's
     # tens-of-ms RTT jitter: iterate n times over 8 distinct resident
