@@ -36,6 +36,10 @@ def main() -> int:
         ("b0_c1_d4", dict(c=1, d=4, fs=384000, t=384000, shared=True)),
         ("b1_c11_d5", dict(c=11, d=5, fs=384000, t=384000, shared=True)),
         ("g1b0_c15_d2", dict(c=15, d=2, fs=192000, t=192000, shared=True)),
+        # grid-step-overhead probe: same group work at 47 vs 4 vs 8 tiles
+        ("g0_r128_t47", dict(c=1, d=2, fs=1536000, t=1536000, rows=128)),
+        ("g0_r1504_t4", dict(c=1, d=2, fs=1536000, t=1536000, rows=1504)),
+        ("g0_r752_t8", dict(c=1, d=2, fs=1536000, t=1536000, rows=752)),
     ]
     for _n, kw in cases:
         kw["t"] = kw["t"] + pick_warmup(kw["d"], kw["t"], kw["fs"])
