@@ -84,6 +84,9 @@ class ShardedReceiver(CompiledReceiver):
     def _want_dc_kernel(self) -> bool:
         return False  # time shards use the halo DC path (dist/halo)
 
+    def _want_merged_front(self) -> bool:
+        return False  # per-shard kernels are built in _build_shard_kernels
+
     def _build_shard_kernels(self) -> None:
         from ..pallas.frontend import MixCascadeKernel, pick_warmup, supported
 

@@ -206,6 +206,10 @@ class CompiledReceiver:
         affine composition in dist/halo)."""
         return self.use_pallas and self.plan.dc_correct
 
+    def _want_merged_front(self) -> bool:
+        """Hook: ShardedReceiver builds per-shard kernels instead."""
+        return True
+
     def _build_consts(self) -> None:
         self._kernels: dict[str, Any] = {}
         self._dc_kernel = None
@@ -218,10 +222,49 @@ class CompiledReceiver:
                 )
         hb = design.half_band(11)
         hilb = design.hilbert()
+        self._front_merged = None
+        cands = [
+            g for g in self.plan.groups if not g.direct and g.stages >= 1
+        ]
+        if (
+            self.use_pallas
+            and self._want_merged_front()
+            and self.xtail_len()
+            and len(cands) >= 2
+        ):
+            # ONE kernel for every group front: all groups mix the SAME
+            # full-rate stream, and multi-channel kernels amortize the
+            # per-row cost (measured r4: C=2 runs at ~1.65x a C=1 kernel,
+            # not 2x), so the merged form beats per-group kernels even
+            # though per-channel cascade depths differ (the kernel pads
+            # each channel's band matrices to the widest output)
+            from ..pallas.frontend import (
+                MixCascadeKernel,
+                pick_warmup,
+                supported,
+                warmup_len,
+            )
+
+            d_max = max(g.stages for g in cands)
+            warm = pick_warmup(
+                d_max, self.block, self.plan.fs,
+                base=max(warmup_len(g.stages) for g in cands),
+            )
+            if supported(self.plan.fs, d_max, self.block + warm):
+                kern = MixCascadeKernel(
+                    len(cands),
+                    [g.stages for g in cands],
+                    self.plan.fs,
+                    np.asarray([g.mixer_freq for g in cands], dtype=np.int64),
+                    self.block + warm,
+                    interpret=self.pallas_interpret,
+                    shared_input=True,
+                )
+                self._front_merged = (kern, warm, [g.index for g in cands])
         for g in self.plan.groups:
             gk = f"g{g.index}"
             self._consts[f"{gk}/hb"] = fir.prepare_taps(hb, 1)
-            if not g.direct:
+            if not g.direct and self._front_merged is None:
                 self._fused(gk, 1, g.stages, self.plan.fs, [g.mixer_freq], self.block)
             tg = self.block >> g.stages
             for bi, b in enumerate(g.buckets):
@@ -273,9 +316,16 @@ class CompiledReceiver:
         from ..pallas.frontend import pick_warmup, warmup_len
 
         ps = []
-        for g in self.plan.groups:
-            if g.direct or g.stages < 1:
-                continue
+        cands = [
+            g for g in self.plan.groups if not g.direct and g.stages >= 1
+        ]
+        if len(cands) >= 2:
+            # merged front kernel: one shared warm-up for all groups
+            ps.append(pick_warmup(
+                max(g.stages for g in cands), self.block, self.plan.fs,
+                base=max(warmup_len(g.stages) for g in cands),
+            ))
+        for g in cands:
             # pick_warmup-padded lengths so the tail covers exactly what
             # the built kernels prepend (kernel warm-up may exceed the
             # washout minimum for tiling reasons)
@@ -372,12 +422,49 @@ class CompiledReceiver:
             new_state["dc"] = state["dc"]
         xr, xi = x
         zs: dict[str, tuple[jax.Array, jax.Array]] = {}
+        merged_z: dict[int, tuple[jax.Array, jax.Array]] = {}
+        merged_ext = None
+        if self._front_merged is not None:
+            # ONE stateless kernel for all group fronts (see _build_consts)
+            kern, mwarm, gidxs = self._front_merged
+            xt = state["xtail"]
+            phases = jnp.concatenate(
+                [state[f"g{i}"]["nco"]["phase"] for i in gidxs]
+            )
+            ph = kern.phase_back(phases, mwarm)
+            mext_r = jnp.concatenate([xt[0, -mwarm:], xr])
+            mext_i = jnp.concatenate([xt[1, -mwarm:], xi])
+            merged_ext = (mext_r, mext_i, mwarm)
+            o3r, o3i = kern(ph, mext_r[None, :], mext_i[None, :])
+            by_index = {g.index: g for g in plan.groups}
+            for ci, gi in enumerate(gidxs):
+                gm = by_index[gi]
+                l_c = kern.lanes >> gm.stages
+                drop = mwarm >> gm.stages
+                fr = o3r[ci, :, :l_c].reshape(-1)[drop:]
+                fi = o3i[ci, :, :l_c].reshape(-1)[drop:]
+                merged_z[gi] = (fr[None, :], fi[None, :])
         for g in plan.groups:
             gk = f"g{g.index}"
             gs = state[gk]
             ngs: dict[str, Any] = {}
             if g.direct:
                 zs[gk] = (xr[None, :], xi[None, :])
+            elif g.index in merged_z:
+                zs[gk] = merged_z[g.index]
+                ngs["nco"] = dict(gs["nco"])
+                ngs["nco"]["phase"] = nco.advance_per_block(
+                    gs["nco"], plan.fs, self.block
+                )
+                mext_r, mext_i, mwarm = merged_ext
+                tail = (mext_r[-mwarm:], mext_i[-mwarm:])
+                tph = nco.phase_minus(ngs["nco"], plan.fs, mwarm)
+                tst = dict(gs["nco"])
+                tst["phase"] = tph
+                _, ztail = nco.mix_block_planar(tst, tail, plan.fs)
+                ngs["cascade"] = halfband.cascade_tails_from_tail(
+                    ztail, self._consts[f"{gk}/hb"], g.stages
+                )
             elif gk in self._kernels:
                 # stateless composite kernel: prepend the carried xtail's
                 # last warmup samples, start the in-kernel NCO at the

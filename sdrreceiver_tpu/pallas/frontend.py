@@ -97,7 +97,8 @@ def warmup_len(stages: int) -> int:
     return max(LANES, -(-need // LANES) * LANES)
 
 
-def pick_warmup(stages: int, data_len: int, fs: int) -> int:
+def pick_warmup(stages: int, data_len: int, fs: int,
+                base: int | None = None) -> int:
     """Warm-up length for a kernel over ``data_len`` samples: at least
     :func:`warmup_len`, padded by whole rows so ``data_len + warm`` tiles
     well.  The padding matters because the int32 phase bound caps the row
@@ -106,7 +107,8 @@ def pick_warmup(stages: int, data_len: int, fs: int) -> int:
     6001-row single tile; +48 rows tiles as 27 x 224.  Extra warm-up is
     harmless (more washout, more dropped outputs, <=2% extra samples);
     the largest supported per-tile row count wins (ties -> least warm)."""
-    base = warmup_len(stages)
+    if base is None:
+        base = warmup_len(stages)
     fallback = None
     for extra in range(65):
         warm = base + extra * LANES
@@ -219,16 +221,27 @@ class MixCascadeKernel:
         and every channel's grid step reads that one block (no [C, T]
         broadcast materialization in HBM)."""
         self.shared_input = bool(shared_input)
-        if not supported(fs, stages, t_len):
+        # ``stages`` may be one int (all channels share a schedule — the
+        # bucket case) or a per-channel sequence (the merged-groups case:
+        # several main VFOs mixing the same full-rate stream with DIFFERENT
+        # cascade depths; each channel gets its own band matrices, padded
+        # to the widest output, and __call__ returns the raw [C, R, l_out]
+        # planes for the caller to slice per channel)
+        self.multi = not np.isscalar(stages)
+        self.stages_list = (
+            [int(d) for d in stages] if self.multi else [int(stages)] * channels
+        )
+        d_chk = max(self.stages_list)
+        if not supported(fs, d_chk, t_len):
             raise ValueError(
                 f"unsupported fused shape: fs={fs} stages={stages} t_len={t_len}"
             )
         self.c = channels
-        self.d = stages
+        self.d = d_chk
         self.fs = fs
         self.t_len = t_len
         self.interpret = interpret
-        self.lanes, self.rows = _tiling(t_len, stages)
+        self.lanes, self.rows = _tiling(t_len, d_chk)
         if rows is not None:  # benchmarking override (tools/kernel_probe.py)
             if (t_len // self.lanes) % rows or (
                 rows % 8 and rows != t_len // self.lanes
@@ -250,9 +263,25 @@ class MixCascadeKernel:
         if precision not in ("default", "highest", "bf16x3"):
             raise ValueError(f"unknown precision {precision!r}")
         self.prec_mode = precision
-        self.hc = composite_taps(stages, taps)
-        self.mats = _band_matrices(self.hc, stages, self.lanes)
-        self.n_prev = len(self.mats) - 1
+        self.l_out = self.lanes >> min(self.stages_list)
+        per_chan = [
+            _band_matrices(composite_taps(d, taps), d, self.lanes)
+            for d in self.stages_list
+        ]
+        self.n_prev = max(len(m) - 1 for m in per_chan)
+        if self.multi:
+            # stack per-channel mats [C, lanes, l_out], zero-padded in both
+            # the output columns (shallower channels emit more outputs) and
+            # the prev depth (deeper channels reach further back)
+            self.mats = []
+            for k in range(self.n_prev + 1):
+                m3 = np.zeros((channels, self.lanes, self.l_out), np.float32)
+                for ci, mc in enumerate(per_chan):
+                    if k < len(mc):
+                        m3[ci, :, : mc[k].shape[1]] = mc[k]
+                self.mats.append(m3)
+        else:
+            self.mats = per_chan[0]
         self.n_tiles = t_len // (self.lanes * self.rows)
         if self.n_prev > self.rows:
             raise ValueError("tile too short for the composite band reach")
@@ -283,7 +312,8 @@ class MixCascadeKernel:
         c_chan, d, fs = self.c, self.d, self.fs
         r, n_tiles = self.rows, self.n_tiles
         lanes = self.lanes
-        l_out = lanes >> d
+        l_out = self.l_out
+        multi = self.multi
         n_prev = self.n_prev
         prec_mode = self.prec_mode
         split = prec_mode == "bf16x3"
@@ -311,7 +341,10 @@ class MixCascadeKernel:
         two_pi_over_fs = np.float32(2.0 * np.pi / fs)
 
         def kernel(scal_ref, xr_ref, xi_ref, *refs):
-            m_refs = refs[:n_mats]
+            if multi:  # per-channel band matrices: [1, lanes, l_out] blocks
+                m_refs = [lambda mr=refs[k]: mr[0, :, :] for k in range(n_mats)]
+            else:
+                m_refs = [lambda mr=refs[k]: mr[:, :] for k in range(n_mats)]
             yr_ref, yi_ref = refs[n_mats], refs[n_mats + 1]
             # per plane, n_prev trailing-row buffers [1, lanes]
             scr = refs[n_mats + 2 :]
@@ -347,11 +380,11 @@ class MixCascadeKernel:
 
             # ---- composite cascade: one banded dot chain per plane ----
             def band_dot(op, k):
-                mh = m_refs[k][:, :]
+                mh = m_refs[k]()
                 if split:
                     hi = op.astype(jnp.bfloat16).astype(jnp.float32)
                     lo = op - hi
-                    ml = m_refs[n_prev + 1 + k][:, :]
+                    ml = m_refs[n_prev + 1 + k]()
                     return (
                         jnp.dot(hi, mh, preferred_element_type=jnp.float32,
                                 precision=dot_prec)
@@ -392,7 +425,13 @@ class MixCascadeKernel:
             pl.BlockSpec((1, r, lanes), x_index, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, r, lanes), x_index, memory_space=pltpu.VMEM),
         ] + [
-            pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(n_mats)
+            (
+                pl.BlockSpec((1, lanes, l_out), lambda ci, ti: (ci, 0, 0),
+                             memory_space=pltpu.VMEM)
+                if multi
+                else pl.BlockSpec(memory_space=pltpu.VMEM)
+            )
+            for _ in range(n_mats)
         ]
         out_shapes = [
             jax.ShapeDtypeStruct((c_chan, n_tiles * r, l_out), jnp.float32),
@@ -431,6 +470,8 @@ class MixCascadeKernel:
                 scratch_shapes=scratch_shapes,
                 interpret=interpret,
             )(scal, xr3, xi3, *(jnp.asarray(m) for m in mats_in))
+            if multi:
+                return outs[0], outs[1]  # [C, R, l_out]; caller slices
             return outs[0].reshape(c_chan, -1), outs[1].reshape(c_chan, -1)
 
         return call

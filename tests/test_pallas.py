@@ -164,8 +164,11 @@ size=3
         )
         rx_ref = CompiledReceiver(plan, block)
         rx_pal = CompiledReceiver(plan, block, use_pallas=True, pallas_interpret=True)
-        # every non-direct group and bucket must actually be fused
-        assert len(rx_pal._kernels) == 5
+        # both group fronts run in the ONE merged multi-stage kernel, and
+        # every bucket gets its own fused kernel
+        assert rx_pal._front_merged is not None
+        assert rx_pal._front_merged[2] == [0, 1]
+        assert len(rx_pal._kernels) == 3
         sr, sp = rx_ref.init_state(), rx_pal.init_state()
         for i in range(2):
             chunk = jnp.asarray(iq[i * block : (i + 1) * block])
