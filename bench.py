@@ -179,7 +179,7 @@ def main() -> int:
             try:
                 r = subprocess.run(
                     [sys.executable, "-u", tool, "--stage", s, "--pallas"],
-                    capture_output=True, text=True, timeout=420,
+                    capture_output=True, text=True, timeout=540,
                     cwd=os.path.dirname(tool) + "/..",
                 )
                 cum[s] = json.loads(r.stdout.strip().splitlines()[-1])["us"]
@@ -227,8 +227,13 @@ def main() -> int:
         "step_us": round(dt * 1e6, 1),
         # median-vs-median differential: a large ratio vs step_us flags a
         # degraded remote-TPU session (the r3 builder-vs-driver 2.2x gap);
-        # step_us (min-based) is the canonical figure
+        # step_us (min-based) is the canonical figure.  measurement_valid
+        # False means even the escalated-length retries saw a systematic
+        # session drift (obs/timing.py) — treat the numbers as a lower
+        # bound on throughput, not a measurement
         "step_us_median": round(detail["seconds_median"] * 1e6, 1),
+        "measurement_valid": bool(detail.get("valid", True)),
+        "measurement_attempts": detail.get("attempts"),
         "burst_sps": round(burst_sps / 1e6, 2) if burst_sps else None,
         "mfu": round(mfu, 5) if mfu is not None else None,
         "hbm_utilization": round(hbm_util, 5) if hbm_util is not None else None,

@@ -158,17 +158,21 @@ def _honest_time(make_prog, xs_small, xs_big, reps: int = 3) -> float:
     program so the fixed RTT cancels.  Validated against a bf16 matmul chain
     at 183.7 TFLOP/s = 93% of v5e peak."""
     t = {}
+    tm = {}
     for xs in (xs_small, xs_big):
         prog = make_prog(xs.shape[0])
         _ = float(prog(xs))  # compile + settle
-        best = float("inf")
+        times = []
         for _ in range(reps):
             t0 = time.perf_counter()
             _ = float(prog(xs))
-            best = min(best, time.perf_counter() - t0)
-        t[xs.shape[0]] = best
+            times.append(time.perf_counter() - t0)
+        t[xs.shape[0]] = min(times)
+        tm[xs.shape[0]] = float(np.median(times))
     n1, n2 = xs_small.shape[0], xs_big.shape[0]
-    return (t[n2] - t[n1]) / (n2 - n1)
+    best = (t[n2] - t[n1]) / (n2 - n1)
+    med = (tm[n2] - tm[n1]) / (n2 - n1)
+    return best, med
 
 
 def measure_stage(stage: str, block: int | None, loops: int,
@@ -187,13 +191,13 @@ def measure_stage(stage: str, block: int | None, loops: int,
     on_tpu = "tpu" in dev.platform.lower() or "TPU" in str(dev)
     plan = build_plan(_benchmark_config())
     block = block or (1536000 if on_tpu else 98304)
-    n1, n2 = (4, 16) if on_tpu else (2, 6)
 
-    rng = np.random.default_rng(0)
-    xs_big = jax.device_put(jnp.asarray(
-        rng.integers(0, 256, (n2, 2 * block)).astype(np.uint8)
-    ))
-    xs_small = xs_big[:n1]
+    def make_xs(n1, n2):
+        rng = np.random.default_rng(0)
+        xs_big = jax.device_put(jnp.asarray(
+            rng.integers(0, 256, (n2, 2 * block)).astype(np.uint8)
+        ))
+        return xs_big[:n1], xs_big
 
     if stage in ("full", "full_pallas"):
         rx = CompiledReceiver(
@@ -230,9 +234,20 @@ def measure_stage(stage: str, block: int | None, loops: int,
                 return s
             return prog
 
-    dt = _honest_time(make_prog, xs_small, xs_big)
-    return {"stage": stage, "us": dt * 1e6, "block": block,
-            "device": str(dev)}
+    # degraded-session retry: a systematic tunnel-speed trend during the
+    # measurement defeats the differential (observed r4: negative stage
+    # times); escalate to longer programs until best/median agree
+    sizes = [(4, 16), (4, 48)] if on_tpu else [(2, 6)]
+    dt = med = 0.0
+    valid = False
+    for n1, n2 in sizes:
+        xs_small, xs_big = make_xs(n1, n2)
+        dt, med = _honest_time(make_prog, xs_small, xs_big)
+        if dt > 0 and med > 0 and med <= 3 * dt and dt <= 3 * med:
+            valid = True
+            break
+    return {"stage": stage, "us": dt * 1e6, "us_median": med * 1e6,
+            "valid": valid, "block": block, "device": str(dev)}
 
 
 def main() -> int:
