@@ -120,8 +120,13 @@ def _build(args, block=None, taps=()):
                     for s in b.subs
                 )
             )
+        use_pallas = bool(getattr(args, "pallas", False))
+        interpret = use_pallas and (
+            "tpu" not in jax.devices()[0].platform.lower()
+        )
         return cfg, plan, ShardedReceiver(
-            plan, mesh, block, emit_taps=tuple(taps)
+            plan, mesh, block, emit_taps=tuple(taps),
+            use_pallas=use_pallas, pallas_interpret=interpret,
         )
     if getattr(args, "coordinator", None):
         from ..dist import multihost
@@ -353,13 +358,13 @@ def cmd_process_file(args) -> int:
         pid = args._multihost["process_id"]
         owner = args._egress_owner
 
+        from ..dist.multihost import key_owner
+
         def fetch_filter(k, _own=owner, _pid=pid):
             if k.startswith("tap/"):
                 return True
-            for prefix, h in _own.items():
-                if k.startswith(prefix):
-                    return h == _pid
-            return True
+            h = key_owner(_own, k)
+            return h is None or h == _pid
 
         blocks = (rx.globalize(b) for b in blocks)
     if args.profile:

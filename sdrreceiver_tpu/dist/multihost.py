@@ -47,6 +47,8 @@ __all__ = [
     "global_mesh",
     "egress_owner",
     "global_report",
+    "output_key_owner",
+    "key_owner",
 ]
 
 
@@ -173,11 +175,14 @@ def egress_owner(plan: ReceiverPlan, n_hosts: int) -> dict[int, int]:
 
 
 def output_key_owner(plan: ReceiverPlan, n_hosts: int) -> dict[str, int]:
-    """Step-output key prefix -> owning host (global-mesh egress filter).
+    """Step-output key pattern -> owning host (global-mesh egress filter).
 
-    Keys are the PACKED step outputs (``pcm/g<i>/...``, ``iq/<topic>``);
-    ownership is per group, so a host's fetch filter can skip whole packed
-    buffers it will not publish."""
+    Keys are the PACKED step outputs; ownership is per group, so a host's
+    fetch filter can skip whole packed buffers it will not publish.
+    Entries ending in ``/`` (``pcm/g<i>/``) are PREFIXES; all others
+    (``iq/<topic>``) are EXACT keys — one zmq topic being a prefix of
+    another (``iq/A`` vs ``iq/AB``) must not make the match
+    order-dependent."""
     own = egress_owner(plan, n_hosts)
     keys: dict[str, int] = {}
     for g in plan.groups:
@@ -185,6 +190,19 @@ def output_key_owner(plan: ReceiverPlan, n_hosts: int) -> dict[str, int]:
         if g.publishes_iq:
             keys[f"iq/{g.zmq_topic}"] = own[g.index]
     return keys
+
+
+def key_owner(owner_map: dict[str, int], key: str) -> int | None:
+    """Owning host of one step-output key under an
+    :func:`output_key_owner` map, or None if unowned (taps etc.).
+
+    Map entries ending in ``/`` are prefixes; all others match exactly —
+    so ``iq/A`` owning host never captures ``iq/AB`` (they are distinct
+    exact keys, order-independent)."""
+    for pat, h in owner_map.items():
+        if key.startswith(pat) if pat.endswith("/") else key == pat:
+            return h
+    return None
 
 
 def global_report(plan: ReceiverPlan, n_hosts: int, n_time: int) -> dict:

@@ -329,8 +329,13 @@ class CompiledReceiver:
             # pick_warmup-padded lengths so the tail covers exactly what
             # the built kernels prepend (kernel warm-up may exceed the
             # washout minimum for tiling reasons)
-            wg_washout = warmup_len(g.stages)
             ps.append(pick_warmup(g.stages, self.block, self.plan.fs))
+        for g in self.plan.groups:
+            # bucket kernels exist for direct / stages==0 groups too
+            # (_prev_group_tail takes the raw or mix-only xtail suffix
+            # there); the tail must cover their warm-up AT THE INPUT RATE
+            # plus, for cascaded groups, the group-front washout
+            wg_washout = warmup_len(g.stages) if g.stages >= 1 else 0
             tg = self.block >> g.stages
             for b in g.buckets:
                 if b.stages >= 1:
@@ -509,18 +514,30 @@ class CompiledReceiver:
         output, re-derived from the carried xtail — the warm-up prefix for
         this block's bucket kernels.
 
-        Derivation (all washout-exact): take the last
+        Direct groups: the group "output" IS the post-DC input stream, so
+        the tail is the raw carried xtail.  Mix-only groups (stages == 0):
+        mix the xtail's last ``n_out`` samples at the analytically rewound
+        phase.  Cascaded groups (all washout-exact): take the last
         ``n_out * 2^stages + warmup`` input samples (the xtail is sized to
-        cover this), mix them at the analytically rewound phase, run a
-        ZERO-state jnp cascade, and keep the last ``n_out`` outputs — the
-        zero state washes out inside the extra warmup samples."""
+        cover this), mix them at the rewound phase, run a ZERO-state jnp
+        cascade, and keep the last ``n_out`` outputs — the zero state
+        washes out inside the extra warmup samples."""
         from ..kernels import halfband as hb_mod
         from ..pallas.frontend import warmup_len
 
+        xt = state["xtail"]
+        if g.direct:
+            return xt[0, -n_out:][None, :], xt[1, -n_out:][None, :]
+        gs = state[f"g{g.index}"]
+        if g.stages == 0:
+            tst = dict(gs["nco"])
+            tst["phase"] = nco.phase_minus(gs["nco"], self.plan.fs, n_out)
+            _, z = nco.mix_block_planar(
+                tst, (xt[0, -n_out:], xt[1, -n_out:]), self.plan.fs
+            )
+            return z[0], z[1]
         wg = warmup_len(g.stages)
         need = n_out * (1 << g.stages) + wg
-        xt = state["xtail"]
-        gs = state[f"g{g.index}"]
         tst = dict(gs["nco"])
         tst["phase"] = nco.phase_minus(gs["nco"], self.plan.fs, need)
         _, zmix = nco.mix_block_planar(
@@ -683,9 +700,26 @@ class CompiledReceiver:
         if "xtail" not in conv and self.xtail_len():
             # checkpoints from before the xtail leaf existed: resume with a
             # zero tail — only effect is a <= xtail_len-sample warm-up
-            # transient in the sharded-Pallas front's first block (other
-            # modes never read it)
+            # transient in the first block of any Pallas-mode front (the
+            # single-chip merged/group kernels, the bucket kernels and the
+            # sharded shard-0 halo all read it)
             conv["xtail"] = np.zeros(self.xtail_len(), np.complex64)
+        elif "xtail" in conv and self.xtail_len():
+            # xtail length depends on block size via pick_warmup, so a
+            # checkpoint from a receiver with a different block rounding may
+            # carry a different tail length.  Left-pad with zeros / trim to
+            # the leading samples' loss — the cost is only a bounded
+            # (<= xtail_len) warm-up transient, same as the missing-leaf
+            # fallback, not an error.
+            h = np.asarray(conv["xtail"])
+            want = self.xtail_len()
+            if h.shape[-1] != want:
+                if h.shape[-1] > want:
+                    h = h[..., -want:]
+                else:
+                    pad = np.zeros(want - h.shape[-1], h.dtype)
+                    h = np.concatenate([pad, h])
+                conv["xtail"] = h
         for key, shape, dtype, off, store in self._svec.spec:
             if self._is_planar_pair(key) and key in conv:
                 h = np.asarray(conv[key])

@@ -133,6 +133,35 @@ class TestCheckpoint:
         _, tail2_jnp = run2(rx_jnp, s2, 0)  # content irrelevant; must run
         assert tail2_jnp.shape == first.shape
 
+    def test_import_xtail_length_mismatch_tolerated(self, plan, iq):
+        """The xtail leaf's length depends on block size via pick_warmup, so
+        a checkpoint from a differently-rounded receiver may carry a
+        different tail length.  Import must left-pad/trim (bounded warm-up
+        transient), not raise (round-4 advisor finding)."""
+        rx = CompiledReceiver(plan, BLOCK)
+        want = rx.xtail_len()
+        assert want > 0
+        s = rx.init_state()
+        s, _ = rx.step_iq(s, jnp.asarray(iq[:BLOCK]))
+        named = rx.export_state(s)
+        xt = named["xtail"]
+        for other in (want // 2, want + 512):
+            mod = dict(named)
+            if other <= want:
+                mod["xtail"] = xt[-other:]
+            else:
+                mod["xtail"] = np.concatenate(
+                    [np.zeros(other - want, xt.dtype), xt]
+                )
+            s2 = rx.import_state(mod)
+            # the trimmed import keeps the tail's LAST samples (the ones
+            # the warm-up actually reads); padded import keeps all of them
+            back = rx.export_state(s2)["xtail"]
+            np.testing.assert_array_equal(back[-min(other, want):],
+                                          xt[-min(other, want):])
+            s2, o = rx.step_iq(s2, jnp.asarray(iq[BLOCK : 2 * BLOCK]))
+            assert "pcm/g0/b0" in o
+
     def test_import_rejects_bad_shape_with_path(self, plan):
         rx = CompiledReceiver(plan, BLOCK)
         named = rx.export_state(rx.init_state())

@@ -379,3 +379,17 @@ class TestMultihost:
         assert costs == {
             g: c["flops_per_block"] for g, c in per_group.items()
         }
+
+    def test_key_owner_prefix_vs_exact(self):
+        """iq/<topic> entries are EXACT keys: one topic being a prefix of
+        another (iq/A vs iq/AB) must not make egress ownership
+        order-dependent (round-4 advisor finding)."""
+        from sdrreceiver_tpu.dist.multihost import key_owner
+
+        own = {"iq/A": 0, "iq/AB": 1, "pcm/g0/": 0, "pcm/g1/": 1}
+        assert key_owner(own, "iq/A") == 0
+        assert key_owner(own, "iq/AB") == 1
+        assert key_owner(dict(reversed(list(own.items()))), "iq/AB") == 1
+        assert key_owner(own, "pcm/g1/b0") == 1
+        assert key_owner(own, "tap/main") is None
+        assert key_owner(own, "iq/ABC") is None

@@ -208,3 +208,93 @@ size=3
             s, o = rx.step_iq(s, jnp.asarray(iq[i * block : (i + 1) * block]))
             assert_outputs_close(per[i], o, f"blk{i}")
         assert_states_close(rx, sm, s)
+
+
+class TestPallasEdgeGroups:
+    """Pallas mode on plans whose groups the bucket kernels must warm up
+    WITHOUT a cascaded group front: a direct group (unmatched sub — its
+    "group output" is the raw input stream) and a mix-only (stages == 0)
+    main group.  Round-4 advisor finding: _prev_group_tail crashed on the
+    first (no 'nco' leaf) and xtail_len under-budgeted the second."""
+
+    DIRECT_INI = """
+sample_rate=1536000
+center_frequency=1545600000
+zmq_address=tcp://*:6003
+correct_dc_bias=1
+[main_vfos]
+size=1
+1\\frequency=1545116000
+1\\out_rate=384000
+[vfos]
+size=2
+1\\frequency=1545005146
+1\\gain=5
+1\\data_rate=600
+1\\topic=VFO01
+2\\frequency=1559005000
+2\\gain=5
+2\\data_rate=600
+2\\topic=ORPHN
+"""
+
+    STAGES0_INI = """
+sample_rate=1536000
+center_frequency=1545600000
+zmq_address=tcp://*:6003
+correct_dc_bias=1
+[main_vfos]
+size=1
+1\\frequency=1545116000
+1\\out_rate=1536000
+[vfos]
+size=1
+1\\frequency=1545005146
+1\\gain=5
+1\\data_rate=600
+1\\topic=VFO01
+"""
+
+    @pytest.mark.parametrize("ini", ["DIRECT_INI", "STAGES0_INI"])
+    def test_matches_jnp_receiver(self, ini, rng):
+        import warnings
+
+        from sdrreceiver_tpu.graph import build_plan, parse_ini_text
+        from sdrreceiver_tpu.graph.compiler import CompiledReceiver
+        from sdrreceiver_tpu.io import iqfile
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            plan = build_plan(parse_ini_text(getattr(self, ini)))
+        if ini == "DIRECT_INI":
+            assert any(g.direct for g in plan.groups)
+        else:
+            assert all(g.stages == 0 and not g.direct for g in plan.groups)
+        block = 49152
+        iq = iqfile.synthesize_channels(
+            2 * block,
+            1536000,
+            1545600000,
+            [(1545005146, 900.0, 10.0), (1559005000, 700.0, 10.0)],
+            noise=0.5,
+            dc_offset=2 - 1j,
+        )
+        rx_ref = CompiledReceiver(plan, block)
+        rx_pal = CompiledReceiver(
+            plan, block, use_pallas=True, pallas_interpret=True
+        )
+        # the edge group's bucket kernels must actually have been built
+        # (otherwise this test would only cover the jnp fallback)
+        assert any("/b" in k for k in rx_pal._kernels), rx_pal._kernels
+        sr, sp = rx_ref.init_state(), rx_pal.init_state()
+        for i in range(2):
+            chunk = jnp.asarray(iq[i * block : (i + 1) * block])
+            sr, oref = rx_ref.step_iq(sr, chunk)
+            sp, opal = rx_pal.step_iq(sp, chunk)
+            assert set(oref) == set(opal)
+            for k in oref:
+                d = np.abs(
+                    np.asarray(opal[k]).astype(np.int32)
+                    - np.asarray(oref[k]).astype(np.int32)
+                )
+                assert d.max() <= 1, (k, i, d.max())
