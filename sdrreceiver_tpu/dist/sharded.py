@@ -175,11 +175,12 @@ class ShardedReceiver(CompiledReceiver):
 
     # -- front end under shard_map ------------------------------------------
     def _front(self, state: dict, x):
-        """Planar boundary, complex internals: the halo kernels (dist.halo)
-        operate on complex arrays inside the shard_map (a correctness path —
-        the single-chip planar layout work, kernels/ingest.py, targets the
-        flagship unsharded step); planar pairs cross the shard_map boundary
-        so the shared bucket back half stays complex-free."""
+        """Fully planar, boundary to internals: the halo kernels (dist.halo)
+        operate on (re, im) f32 pairs / stacked [2, ...] planes inside the
+        shard_map — no complex64 array exists anywhere in the sharded front
+        (on a real TPU mesh complex64 lowers to minor-dim-2 layouts at
+        10-50x roofline, the exact pathology the single-chip step eliminated
+        in round 3; tools/layout_probe.py)."""
         plan = self.plan
         t_local = self.block // self.n_time
 
@@ -202,14 +203,12 @@ class ShardedReceiver(CompiledReceiver):
         def local_fn(st: dict, xr_local: jax.Array, xi_local: jax.Array):
             from ..kernels import nco as nco_mod
 
-            x_local = jax.lax.complex(xr_local, xi_local)
+            x_local = (xr_local, xi_local)
             new_st: dict = {}
             if plan.dc_correct:
-                mean_c = jax.lax.complex(st["dc"][0], st["dc"][1])
-                mean_c, y = halo.timeshard_dc_local(
-                    mean_c, x_local, TIME_AXIS
+                new_st["dc"], y = halo.timeshard_dc_local(
+                    st["dc"], x_local, TIME_AXIS
                 )
-                new_st["dc"] = jnp.stack([mean_c.real, mean_c.imag])
             else:
                 new_st["dc"], y = st["dc"], x_local
             if "xtail" in st:
@@ -218,7 +217,7 @@ class ShardedReceiver(CompiledReceiver):
             for g in plan.groups:
                 gk = f"g{g.index}"
                 if g.direct:
-                    zs[gk] = (y.real[None, :], y.imag[None, :])
+                    zs[gk] = (y[0][None, :], y[1][None, :])
                     new_st[gk] = st[gk]
                     continue
                 gs = st[gk]
@@ -232,11 +231,12 @@ class ShardedReceiver(CompiledReceiver):
                     kern, p = self._shard_kernels[gk]
                     d = g.stages
                     idx = jax.lax.axis_index(TIME_AXIS)
-                    halo_c = halo.right_halo(y, p, TIME_AXIS)
-                    xt = st["xtail"]
-                    carried = jax.lax.complex(xt[0, -p:], xt[1, -p:])
-                    left = jnp.where(idx == 0, carried, halo_c)
-                    ext = jnp.concatenate([left, y])
+                    y2 = jnp.stack(y)  # [2, T_local] planes
+                    halo_p = halo.right_halo(y2, p, TIME_AXIS)
+                    carried = st["xtail"][:, -p:]
+                    left = jnp.where(idx == 0, carried, halo_p)
+                    ext_r = jnp.concatenate([left[0], y[0]])
+                    ext_i = jnp.concatenate([left[1], y[1]])
                     nco_state = gs["nco"]
                     step = nco_mod.block_step_mod(nco_state, fs, t_local)
                     pmod = nco_mod.block_step_mod(nco_state, fs, p)
@@ -246,7 +246,7 @@ class ShardedReceiver(CompiledReceiver):
                         + (iu * step) % np.uint32(fs)
                         + (np.uint32(fs) - pmod)
                     ) % np.uint32(fs)
-                    yr, yi = kern(ph, ext.real[None, :], ext.imag[None, :])
+                    yr, yi = kern(ph, ext_r[None, :], ext_i[None, :])
                     zs[gk] = (yr[:, p >> d :], yi[:, p >> d :])
                     new_nco = dict(nco_state)
                     new_nco["phase"] = (
@@ -259,13 +259,13 @@ class ShardedReceiver(CompiledReceiver):
                     # end phase
                     from ..kernels import halfband as hb_mod
 
-                    tail_c = halo._bcast_from_last(y[-p:], TIME_AXIS)
+                    tail2 = halo._bcast_from_last(y2[:, -p:], TIME_AXIS)
                     tst = dict(new_nco)
                     tst["phase"] = (
                         new_nco["phase"] + (np.uint32(fs) - pmod)
                     ) % np.uint32(fs)
                     _, ztail = nco_mod.mix_block_planar(
-                        tst, (tail_c.real, tail_c.imag), fs
+                        tst, (tail2[0], tail2[1]), fs
                     )
                     new_st[gk] = {
                         "nco": new_nco,
@@ -277,20 +277,12 @@ class ShardedReceiver(CompiledReceiver):
                 nco_state, z = halo.timeshard_mix_local(
                     gs["nco"], y, plan.fs, t_local, TIME_AXIS
                 )
-                hists_c = [
-                    jax.lax.complex(h[0], h[1]) for h in gs["cascade"]
-                ]
-                hists_c, z = halo.timeshard_cascade_local(
-                    hists_c, z, self._consts[f"{gk}/hb"], TIME_AXIS
+                new_hists, z = halo.timeshard_cascade_local(
+                    gs["cascade"], z, self._consts[f"{gk}/hb"], TIME_AXIS
                 )
-                new_st[gk] = {
-                    "nco": nco_state,
-                    "cascade": [
-                        jnp.stack([h.real, h.imag]) for h in hists_c
-                    ],
-                }
-                zs[gk] = (z.real, z.imag)
-            return new_st, (y.real, y.imag), zs
+                new_st[gk] = {"nco": nco_state, "cascade": new_hists}
+                zs[gk] = z
+            return new_st, y, zs
 
         pz = P(None, TIME_AXIS)
         zs_specs = {f"g{g.index}": (pz, pz) for g in self.plan.groups}
