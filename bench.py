@@ -172,44 +172,33 @@ def main() -> int:
     except Exception as e:
         print(f"shard-overhead measurement failed: {e}", file=sys.stderr)
 
-    # -- per-stage honest breakdown (ablation cuts of the PALLAS product
-    # path; tools/profile_stages.py method).  Each cut runs in its own
-    # subprocess with a hard timeout so a backend degradation cannot eat
-    # the benchmark; failures leave nulls.
-    stage_us = None
-    if on_tpu:
+    # -- per-stage honest breakdown: ONE subprocess running ALL ablation
+    # cuts round-robin in a single session (tools/profile_stages.py
+    # --roundrobin).  The round-4 per-subprocess ablation put each cut in
+    # a different session epoch; the remote backend drifts ~1.5-2x between
+    # processes, so consecutive-cut differences came out NEGATIVE
+    # (BENCH_r04: audio_filter = -80.8 us).  The round-robin form shares
+    # one session across cuts, clamps deltas at >= 0 and reports an
+    # explicit stage_noise_us bound with the stages below it flagged.
+    stage_us = stage_noise_us = stages_below_noise = None
+    if on_tpu and time.perf_counter() - t_start < 20 * 60:
         import os
         import subprocess
 
-        cuts = ["ingest", "dc", "bucket_casc", "usb", "audio"]
-        cum: dict[str, float] = {}
         tool = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "tools", "profile_stages.py")
-        for s in cuts:
-            if time.perf_counter() - t_start > 25 * 60:
-                print("stage profiling skipped (time budget)", file=sys.stderr)
-                break
-            try:
-                r = subprocess.run(
-                    [sys.executable, "-u", tool, "--stage", s, "--pallas"],
-                    capture_output=True, text=True, timeout=540,
-                    cwd=os.path.dirname(tool) + "/..",
-                )
-                cum[s] = json.loads(r.stdout.strip().splitlines()[-1])["us"]
-            except Exception as e:
-                print(f"stage {s} profile failed: {e}", file=sys.stderr)
-        if cum:
-            stage_us = {}
-            prev = 0.0
-            labels = {"ingest": "ingest", "dc": "dc",
-                      "bucket_casc": "mix+cascades", "usb": "usb_demod",
-                      "audio": "audio_filter"}
-            for s in cuts:
-                if s in cum:
-                    stage_us[labels[s]] = round(cum[s] - prev, 1)
-                    prev = cum[s]
-            if "audio" in cum:
-                stage_us["quantize+rest"] = round(dt * 1e6 - prev, 1)
+        try:
+            r = subprocess.run(
+                [sys.executable, "-u", tool, "--roundrobin", "--pallas"],
+                capture_output=True, text=True, timeout=900,
+                cwd=os.path.dirname(tool) + "/..",
+            )
+            prof = json.loads(r.stdout.strip().splitlines()[-1])
+            stage_us = prof["stage_us"]
+            stage_noise_us = prof["stage_noise_us"]
+            stages_below_noise = prof["stages_below_noise"]
+        except Exception as e:
+            print(f"stage profile failed: {e}", file=sys.stderr)
 
     # -- the old (fictional on remote backends) enqueue-rate figure, for
     # mapping rounds 1-2 numbers onto the honest scale
@@ -265,6 +254,8 @@ def main() -> int:
             round(shard_overhead, 4) if shard_overhead is not None else None
         ),
         "stage_us": stage_us,
+        "stage_noise_us": stage_noise_us,
+        "stages_below_noise": stages_below_noise,
         "enqueue_step_us": (
             round(enqueue_us, 1) if enqueue_us is not None else None
         ),

@@ -174,13 +174,16 @@ class ShardedReceiver(CompiledReceiver):
         return vec
 
     # -- front end under shard_map ------------------------------------------
-    def _front(self, state: dict, x):
+    def _front(self, state: dict, x, dc_mean=None):
         """Fully planar, boundary to internals: the halo kernels (dist.halo)
         operate on (re, im) f32 pairs / stacked [2, ...] planes inside the
         shard_map — no complex64 array exists anywhere in the sharded front
         (on a real TPU mesh complex64 lowers to minor-dim-2 layouts at
         10-50x roofline, the exact pathology the single-chip step eliminated
         in round 3; tools/layout_probe.py)."""
+        # the fused ingest+DC entry never engages under a mesh
+        # (_want_dc_kernel is False -> _dc_kernel_u8 is None)
+        assert dc_mean is None
         plan = self.plan
         t_local = self.block // self.n_time
 

@@ -213,12 +213,20 @@ class CompiledReceiver:
     def _build_consts(self) -> None:
         self._kernels: dict[str, Any] = {}
         self._dc_kernel = None
+        self._dc_kernel_u8 = None
         if self._want_dc_kernel():
             from ..pallas.dckernel import DcKernel, dc_supported
 
             if dc_supported(self.block):
                 self._dc_kernel = DcKernel(
                     self.block, interpret=self.pallas_interpret
+                )
+                # u8 entry: ingest conversion fused INTO the DC pass (the
+                # separate XLA u8->f32 materialization costs ~200 us/block
+                # on TPU; the fused kernel reads 3 MB of i8 instead)
+                self._dc_kernel_u8 = DcKernel(
+                    self.block, interpret=self.pallas_interpret,
+                    in_dtype=jnp.int8,
                 )
         hb = design.half_band(11)
         hilb = design.hilbert()
@@ -398,6 +406,13 @@ class CompiledReceiver:
         return jnp.stack([zr, zi])
 
     def _step_u8(self, state: dict, raw: jax.Array):
+        if self._dc_kernel_u8 is not None:
+            # fused ingest+DC: deinterleave at u8 width, convert + DC-correct
+            # in ONE Pallas pass (pallas/dckernel.py in_dtype=int8)
+            mean, x = self._dc_kernel_u8(
+                state["dc"], ingest.u8_iq_to_i8_planar(raw)
+            )
+            return self._step_planar(state, x, dc_mean=mean)
         return self._step_planar(state, ingest.u8_iq_to_planar(raw))
 
     def _step_f32(self, state: dict, raw: jax.Array):
@@ -408,16 +423,20 @@ class CompiledReceiver:
         above are the TPU product path."""
         return self._step_planar(state, (iq.real, iq.imag))
 
-    def _front(self, state: dict, x):
+    def _front(self, state: dict, x, dc_mean=None):
         """DC removal + every group's full-rate mix + half-band cascade.
 
-        ``x`` is the planar ``(re, im)`` input pair.  Returns
+        ``x`` is the planar ``(re, im)`` input pair.  ``dc_mean`` non-None
+        means the entry already fused ingest+DC (``_step_u8``'s i8 kernel):
+        ``x`` is post-DC and ``dc_mean`` is the new carried mean.  Returns
         ``(partial new_state, post-DC planar x, {gk: (zr, zi) [1, Tg]})``.
         ``ShardedReceiver`` overrides this with a shard_map over the time
         mesh axis; the bucket back half below is shared."""
         plan = self.plan
         new_state: dict[str, Any] = {}
-        if plan.dc_correct and self._dc_kernel is not None:
+        if dc_mean is not None:
+            new_state["dc"] = dc_mean
+        elif plan.dc_correct and self._dc_kernel is not None:
             # fused Pallas DC: one HBM read+write instead of the XLA
             # closed-form's several passes (pallas/dckernel.py)
             new_state["dc"], x = self._dc_kernel(state["dc"], x)
@@ -636,11 +655,11 @@ class CompiledReceiver:
         outputs[f"pcm/{bk}"] = pcm.reshape(-1)
         return nbs
 
-    def _step_planar(self, state: dict, x):
+    def _step_planar(self, state: dict, x, dc_mean=None):
         plan = self.plan
         outputs: dict[str, jax.Array] = {}
 
-        new_state, x, zs = self._front(state, x)
+        new_state, x, zs = self._front(state, x, dc_mean=dc_mean)
         if self.xtail_len():
             p = self.xtail_len()
             new_state["xtail"] = jnp.stack([x[0][-p:], x[1][-p:]])

@@ -21,6 +21,7 @@ import numpy as np
 
 __all__ = [
     "u8_iq_to_planar",
+    "u8_iq_to_i8_planar",
     "f32_pairs_to_planar",
     "u8_iq_to_complex",
     "f32_pairs_to_complex",
@@ -45,6 +46,17 @@ def u8_iq_to_planar(raw: jax.Array) -> tuple[jax.Array, jax.Array]:
     scale 1.0, offset 127, NOT the textbook 127.5)."""
     v = raw.astype(jnp.float32) - np.float32(127.0)
     return _deinterleave(v)
+
+
+def u8_iq_to_i8_planar(raw: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """``[2T] uint8`` interleaved -> planar ``([T] i8, [T] i8)`` holding
+    ``u8 - 128`` (XOR 0x80 + bitcast).  The fused-ingest form for the
+    Pallas DC kernel (pallas/dckernel.py, in_dtype=int8): the deinterleave
+    runs at u8 width (1/4 the f32 bytes) and the value conversion
+    ``f32(i8) + 1 = u8 - 127`` happens on load inside the kernel —
+    Mosaic cannot cast uint8, but int8 it can."""
+    x = jax.lax.bitcast_convert_type(raw ^ np.uint8(0x80), jnp.int8)
+    return _deinterleave(x)
 
 
 def f32_pairs_to_planar(raw: jax.Array) -> tuple[jax.Array, jax.Array]:

@@ -4,7 +4,16 @@ kernels/dc.py evaluates the one-pole EMA's closed form with XLA ops; its
 honest cost on a 1.536 Ms block is ~250-460 us — several full HBM passes
 (pad/reshape/prefix/broadcast/subtract all materialize).  This kernel does
 the whole thing in ONE read + ONE write per plane with the prefix math on
-the MXU:
+the MXU.
+
+``in_dtype=jnp.int8`` additionally fuses the u8 INGEST conversion
+(jonti/sdr.cpp:43-49's LUT: value - 127) into the same pass: the caller
+deinterleaves the raw u8 stream at u8 width (a cheap XLA lane shuffle on
+1/4 the f32 bytes), XORs 0x80 and bitcasts to int8 (i8 = u8 - 128), and
+the kernel computes ``f32(i8) + 1 = u8 - 127`` on load — Mosaic cannot
+cast uint8 directly, but int8 -> f32 it can.  This removes the separate
+XLA u8->f32 materialization pass (~200 us on a 1.536 Ms block; the fused
+read is 3 MB of i8 instead of 12 MB of f32):
 
   * within a 256-lane row:   v = z @ W,  W[i,j] = alpha * a^(j-i) (i<=j)
     (kernels/dc._prefix_matrix — the same matrix, so the two evaluations
@@ -49,21 +58,28 @@ def dc_supported(t_len: int) -> bool:
 
 
 class DcKernel:
-    """``(mean [2], xr [T], xi [T]) -> (new_mean [2], yr [T], yi [T])``."""
+    """``(mean [2], xr [T], xi [T]) -> (new_mean [2], yr [T], yi [T])``.
+
+    With ``in_dtype=jnp.int8`` the planes are int8 (u8 XOR 0x80 bitcast —
+    see module docstring) and the kernel converts on load."""
 
     def __init__(self, t_len: int, alpha: float = dc_mod.DEFAULT_ALPHA,
-                 interpret: bool = False):
+                 interpret: bool = False, in_dtype=jnp.float32):
         if not dc_supported(t_len):
             raise ValueError(f"t_len {t_len} not a multiple of {_LANES}")
         self.t_len = t_len
         self.alpha = float(alpha)
         self.rows, self.n_tiles = _rows_for(t_len)
         self.interpret = interpret
+        self.in_dtype = jnp.dtype(in_dtype)
+        if self.in_dtype not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.int8)):
+            raise ValueError(f"unsupported in_dtype {in_dtype}")
         self._call = jax.jit(self._build())
 
     def _build(self):
         r, n_tiles = self.rows, self.n_tiles
         alpha = self.alpha
+        convert_i8 = self.in_dtype == jnp.dtype(jnp.int8)
         w = dc_mod._prefix_matrix(alpha, _LANES)  # [256, 256] upper-tri
         i = np.arange(r, dtype=np.float64)
         # e[row] = m_end(row-1) sans carry = sum_{t<=row-1} a^(256*(row-1-t)) tot[t]
@@ -93,6 +109,9 @@ class DcKernel:
                 ((xr_ref, yr_ref), (xi_ref, yi_ref))
             ):
                 z = x_ref[:, :]
+                if convert_i8:
+                    # fused ingest: i8 = u8 - 128, LUT value = u8 - 127
+                    z = z.astype(jnp.float32) + np.float32(1.0)
                 v = jnp.dot(z, w_ref[:, :],
                             preferred_element_type=jnp.float32, precision=hp)
                 tot = v[:, _LANES - 1 :]  # [r, 1] row totals

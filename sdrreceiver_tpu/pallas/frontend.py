@@ -14,18 +14,22 @@ Formulation (round 4 — the "composite" kernel):
     rotations as two broadcast complex FMAs
   * the d-stage /2 cascade is collapsed by the noble identity into ONE
     composite FIR h (x) (h^2) (x) ... (x) (h^(2^(d-1))) of length
-    10*(2^d - 1) + 1, evaluated at stride 2^d as banded-matrix MXU dots:
+    10*(2^d - 1) + 1, evaluated at stride 2^d as ONE banded-matrix MXU dot
+    per plane (round 5 — the "concatenated band" form):
 
-        y = z @ M0 + prev1(z) @ M1 + ... + prevK(z) @ MK
+        yp = z @ [M0 | M1 | ... | MK]        (one [r, 256] x [256, W] dot)
+        y  = yp[:, :l] + roll(yp[:, l:2l], 1) + roll(yp[:, 2l:3l], 2) + ..
 
-    where prev_k is the row-rolled plane (cross-row reach of the band) and
-    Mk[j, m] = hc[m*2^d - j + k*256].  One dot chain per plane replaces the
-    round-3 per-stage ladder (tail-extraction dot + roll + where + scratch
-    per stage per plane on skinny [r, 16] arrays), which profiling showed
-    dominated the kernel: the staged form cost ~80 us per channel at d=5
-    while its FLOPs are ~1 us — all shape overhead.  The composite form
-    also does FEWER MACs than the staged cascade (311/32 vs ~21 per input
-    sample at d=5).
+    where Mk[j, m] = hc[m*2^d - j + k*256] is the contribution of input
+    rows k back, l = l_out = 256 >> d and W = (K+1)*l.  Rolling the
+    narrow OUTPUT blocks ([r, l_out]) replaces rolling the wide INPUT
+    plane ([r, 256]) K times and collapses K+1 skinny dots into one:
+    measured on v5e (round 5), the d=5 11-channel bucket kernel's dot
+    chain fell 214 -> 90 us — the big sublane rolls and per-dot overhead,
+    not the MACs, were the cost.  (Round 4 ran y = sum_k prev_k(z) @ Mk
+    with prev_k = pltpu.roll(z, k, 0); round 3's per-stage ladder was
+    slower still.)  The composite form also does FEWER MACs than the
+    staged cascade (311/32 vs ~21 per input sample at d=5).
   * NO carried filter state: the caller prepends ``warmup_len(d)`` input
     samples (the carried ``xtail`` state or the left time-shard's halo —
     dist/sharded.py uses the identical scheme) and drops the warm-up
@@ -269,19 +273,24 @@ class MixCascadeKernel:
             for d in self.stages_list
         ]
         self.n_prev = max(len(m) - 1 for m in per_chan)
+        # ONE concatenated band matrix [lanes, W], W = (n_prev+1)*l_out:
+        # block k holds Mk (the contribution of input rows k back); the
+        # kernel does a single dot and rolls the narrow output blocks
+        # (module docstring).  Multi: per-channel stack [C, lanes, W],
+        # zero-padded in both the output columns (shallower channels emit
+        # more outputs) and the prev depth (deeper channels reach back
+        # further).
+        w_cat = (self.n_prev + 1) * self.l_out
         if self.multi:
-            # stack per-channel mats [C, lanes, l_out], zero-padded in both
-            # the output columns (shallower channels emit more outputs) and
-            # the prev depth (deeper channels reach further back)
-            self.mats = []
-            for k in range(self.n_prev + 1):
-                m3 = np.zeros((channels, self.lanes, self.l_out), np.float32)
-                for ci, mc in enumerate(per_chan):
-                    if k < len(mc):
-                        m3[ci, :, : mc[k].shape[1]] = mc[k]
-                self.mats.append(m3)
+            mcat = np.zeros((channels, self.lanes, w_cat), np.float32)
+            for ci, mc in enumerate(per_chan):
+                for k, mk in enumerate(mc):
+                    mcat[ci, :, k * self.l_out : k * self.l_out + mk.shape[1]] = mk
         else:
-            self.mats = per_chan[0]
+            mcat = np.zeros((self.lanes, w_cat), np.float32)
+            for k, mk in enumerate(per_chan[0]):
+                mcat[:, k * self.l_out : k * self.l_out + mk.shape[1]] = mk
+        self.mats = [mcat]
         self.n_tiles = t_len // (self.lanes * self.rows)
         if self.n_prev > self.rows:
             raise ValueError("tile too short for the composite band reach")
@@ -378,13 +387,14 @@ class MixCascadeKernel:
             zr = ar * cr - ai * sr  # row rotation (broadcast over lanes)
             zi = ar * sr + ai * cr
 
-            # ---- composite cascade: one banded dot chain per plane ----
-            def band_dot(op, k):
-                mh = m_refs[k]()
+            # ---- composite cascade: ONE concatenated-band dot per plane,
+            # then roll the narrow output blocks (module docstring) ----
+            def band_dot(op):
+                mh = m_refs[0]()
                 if split:
                     hi = op.astype(jnp.bfloat16).astype(jnp.float32)
                     lo = op - hi
-                    ml = m_refs[n_prev + 1 + k]()
+                    ml = m_refs[1]()
                     return (
                         jnp.dot(hi, mh, preferred_element_type=jnp.float32,
                                 precision=dot_prec)
@@ -398,21 +408,28 @@ class MixCascadeKernel:
 
             for p, (z, y_ref) in enumerate(((zr, yr_ref), (zi, yi_ref))):
                 sc = scr[p * n_prev : (p + 1) * n_prev]
-                acc = band_dot(z, 0)
+                yp = band_dot(z)  # [r, (n_prev+1)*l_out]
+                acc = yp[:, :l_out]
                 for k in range(1, n_prev + 1):
-                    prev = pltpu.roll(z, k, 0)
+                    blk = yp[:, k * l_out : (k + 1) * l_out]
+                    sh = pltpu.roll(blk, k, 0)
                     # rows j < k belong to the previous tile: trailing-row
-                    # scratch sc[n_prev - k + j] (zeros at tile 0)
+                    # yp scratch sc[n_prev - k + j] (zeros at tile 0)
                     for j in range(k):
-                        prev = jnp.where(
-                            row_i == j, sc[n_prev - k + j][0:1, :], prev
+                        sh = jnp.where(
+                            row_i == j,
+                            sc[n_prev - k + j][
+                                0:1, k * l_out : (k + 1) * l_out
+                            ],
+                            sh,
                         )
-                    acc = acc + band_dot(prev, k)
+                    acc = acc + sh
                 y_ref[0, :, :] = acc
-                # stash this tile's trailing rows for the next tile
-                # (whole-buffer writes only; sublane-offset READS are fine)
+                # stash this tile's trailing yp rows for the next tile
+                # (whole-buffer writes only; sublane/lane-offset READS are
+                # fine)
                 for j in range(n_prev):
-                    sc[j][:, :] = z[r - n_prev + j : r - n_prev + j + 1, :]
+                    sc[j][:, :] = yp[r - n_prev + j : r - n_prev + j + 1, :]
 
         # ---- pallas_call wiring ----
         grid = (c_chan, n_tiles)
@@ -420,13 +437,14 @@ class MixCascadeKernel:
             x_index = lambda ci, ti: (0, ti, 0)
         else:
             x_index = lambda ci, ti: (ci, ti, 0)
+        w_cat = (n_prev + 1) * l_out
         in_specs = [
             pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars [4, C]
             pl.BlockSpec((1, r, lanes), x_index, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, r, lanes), x_index, memory_space=pltpu.VMEM),
         ] + [
             (
-                pl.BlockSpec((1, lanes, l_out), lambda ci, ti: (ci, 0, 0),
+                pl.BlockSpec((1, lanes, w_cat), lambda ci, ti: (ci, 0, 0),
                              memory_space=pltpu.VMEM)
                 if multi
                 else pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -444,7 +462,7 @@ class MixCascadeKernel:
                          memory_space=pltpu.VMEM),
         ]
         scratch_shapes = [
-            pltpu.VMEM((1, lanes), jnp.float32) for _ in range(2 * n_prev)
+            pltpu.VMEM((1, w_cat), jnp.float32) for _ in range(2 * n_prev)
         ]
         interpret = self.interpret
         shared = self.shared_input

@@ -50,18 +50,34 @@ def _build_variant(rx, stage: str):
     plan = rx.plan
     cut = STAGES.index(stage)
 
+    fused_u8 = getattr(rx, "_dc_kernel_u8", None) is not None
+
     def step(vec, raw):
         state = rx._svec.unpack(vec)
         outs = {}
-        x = ingest.u8_iq_to_planar(raw)
-        if cut == 0:
-            return {"re": x[0], "im": x[1]}
-        if plan.dc_correct and getattr(rx, "_dc_kernel", None) is not None:
-            _, x = rx._dc_kernel(state["dc"], x)
-        elif plan.dc_correct:
-            _, x = dc.dc_block_planar(state["dc"], x)
-        if cut == 1:
-            return {"re": x[0], "im": x[1]}
+        if fused_u8:
+            # the product u8 path fuses ingest INTO the DC kernel; the
+            # "ingest" cut is then the u8->i8 deinterleave alone and the
+            # "dc" cut is the whole fused kernel (compiler._step_u8)
+            if cut == 0:
+                x8 = ingest.u8_iq_to_i8_planar(raw)
+                return {"re": x8[0].astype(jnp.float32),
+                        "im": x8[1].astype(jnp.float32)}
+            _, x = rx._dc_kernel_u8(
+                state["dc"], ingest.u8_iq_to_i8_planar(raw)
+            )
+            if cut == 1:
+                return {"re": x[0], "im": x[1]}
+        else:
+            x = ingest.u8_iq_to_planar(raw)
+            if cut == 0:
+                return {"re": x[0], "im": x[1]}
+            if plan.dc_correct and getattr(rx, "_dc_kernel", None) is not None:
+                _, x = rx._dc_kernel(state["dc"], x)
+            elif plan.dc_correct:
+                _, x = dc.dc_block_planar(state["dc"], x)
+            if cut == 1:
+                return {"re": x[0], "im": x[1]}
         _, _, zs = rx._front(state, x)
         if cut == 2:
             return {f"{k}_re": v[0][0] for k, v in zs.items()} | {
@@ -250,6 +266,122 @@ def measure_stage(stage: str, block: int | None, loops: int,
             "valid": valid, "block": block, "device": str(dev)}
 
 
+def roundrobin(block: int | None, pallas: bool, rounds: int = 5) -> dict:
+    """ALL cumulative cuts timed in ONE process, round-robin.
+
+    The per-subprocess ablation (measure_stage) publishes each cut from a
+    different session epoch; the remote-TPU session drifts ~1.5-2x between
+    processes, so consecutive-cut differences could come out NEGATIVE
+    (round-4 artifact: audio_filter = -80.8 us).  Here every cut's two scan
+    programs are compiled FIRST, then timed interleaved over ``rounds``
+    rounds (min per program), so all cuts share the same session state.
+    Returns cumulative + delta tables and an explicit noise bound
+    ``noise_us`` (max over cuts of |best - median| differential); deltas
+    below the bound are clamped at >= 0 and flagged."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, ".")
+    from __graft_entry__ import _benchmark_config
+    from sdrreceiver_tpu.graph import build_plan
+    from sdrreceiver_tpu.graph.compiler import CompiledReceiver
+
+    dev = jax.devices()[0]
+    on_tpu = "tpu" in dev.platform.lower() or "TPU" in str(dev)
+    plan = build_plan(_benchmark_config())
+    block = block or (1536000 if on_tpu else 98304)
+    rx = CompiledReceiver(plan, block, use_pallas=pallas and on_tpu,
+                          pallas_interpret=pallas and not on_tpu)
+    vec0 = rx.init_state()
+    rng = np.random.default_rng(0)
+    n1, n2 = (2, 16) if on_tpu else (2, 6)
+    xs_big = None
+    import jax.numpy as jnp
+
+    xs_big = jax.device_put(jnp.asarray(
+        rng.integers(0, 256, (n2, 2 * block)).astype(np.uint8)
+    ))
+    xs_small = xs_big[:n1]
+
+    def make_prog(fn, full):
+        @jax.jit
+        def prog(xs):
+            def b(carry, x):
+                if full:
+                    vec, acc = carry
+                    vec2, outs = fn(vec, x)
+                    return (vec2, acc + _checksum(outs)), None
+                acc = carry
+                return acc + _checksum(fn(vec0, x)), None
+
+            if full:
+                (_, s), _ = jax.lax.scan(
+                    b, (vec0, jnp.zeros((), jnp.float32)), xs
+                )
+            else:
+                s, _ = jax.lax.scan(b, jnp.zeros((), jnp.float32), xs)
+            return s
+
+        return prog
+
+    cuts = ["ingest", "dc", "front", "bucket_casc", "usb", "audio", "full"]
+    progs = {}
+    for s in cuts:
+        if s == "full":
+            body = rx._vec(rx._step_u8)
+            fn, full = body, True
+        else:
+            fn, full = _build_variant(rx, s), False
+        p = {n: make_prog(fn, full) for n in (n1, n2)}
+        for n, xs in ((n1, xs_small), (n2, xs_big)):
+            _ = float(p[n](xs))  # compile now (before any timing round)
+        progs[s] = p
+
+    best = {s: {n1: float("inf"), n2: float("inf")} for s in cuts}
+    med = {s: {n1: [], n2: []} for s in cuts}
+    for _r in range(rounds):
+        for s in cuts:
+            for n, xs in ((n1, xs_small), (n2, xs_big)):
+                t0 = _time.perf_counter()
+                _ = float(progs[s][n](xs))
+                dt = _time.perf_counter() - t0
+                best[s][n] = min(best[s][n], dt)
+                med[s][n].append(dt)
+
+    cum = {}
+    noise = 0.0
+    for s in cuts:
+        b = (best[s][n2] - best[s][n1]) / (n2 - n1) * 1e6
+        m = (
+            float(np.median(med[s][n2])) - float(np.median(med[s][n1]))
+        ) / (n2 - n1) * 1e6
+        cum[s] = b
+        noise = max(noise, abs(b - m))
+    deltas = {}
+    labels = {"ingest": "ingest", "dc": "dc", "front": "group_fronts",
+              "bucket_casc": "bucket_mix+cascades", "usb": "usb_demod",
+              "audio": "audio_filter", "full": "quantize+rest"}
+    prev = 0.0
+    below = []
+    for s in cuts:
+        d = cum[s] - prev
+        if d < noise:
+            below.append(labels[s])
+        deltas[labels[s]] = round(max(d, 0.0), 1)
+        prev = cum[s]
+    return {
+        "stage_us": deltas,
+        "stage_noise_us": round(noise, 1),
+        "stages_below_noise": below,
+        "cumulative_us": {s: round(v, 1) for s, v in cum.items()},
+        "rounds": rounds,
+        "block": block,
+        "device": str(dev),
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--loops", type=int, default=30)
@@ -260,7 +392,15 @@ def main() -> int:
     ap.add_argument("--pallas", action="store_true",
                     help="build the variant receiver with the fused Pallas "
                     "front (cuts then profile the pallas product path)")
+    ap.add_argument("--roundrobin", action="store_true",
+                    help="all cuts in ONE process, interleaved timing "
+                    "(immune to between-process session drift); one JSON "
+                    "line with stage deltas + noise bound")
     args = ap.parse_args()
+
+    if args.roundrobin:
+        print(json.dumps(roundrobin(args.block, pallas=args.pallas)))
+        return 0
 
     if args.stage:
         print(json.dumps(measure_stage(
