@@ -1,0 +1,237 @@
+"""TPU throughput of EVERY BASELINE.json benchmark config (round-5 item).
+
+BENCH_r*.json measures one config (the 27-channel sdr_25E-class flagship);
+this tool runs the whole BASELINE config matrix on the chip with the same
+honest fetch-forced-differential protocol (obs/timing.py) and writes
+``BENCH_MATRIX_r05.json`` at the repo root:
+
+  1. flagship_27ch      the bench.py plan (2 mains, 27 subs, 1.536 Msps)
+  2. single_vfo         BASELINE config 1: one main -> one USB sub
+  3. main_4lpf          BASELINE config 2: main + 4 subs w/ 10 kHz Hamming LPF
+  4. sdr54W_all_1920k   BASELINE config 3+4: the real sdr_54W_all.ini —
+                        1.92 Msps, 3 mains @240k, 14 subs, late /5 chains
+                        (vfo.cpp:334-387 path)
+  5. sdr54W_288k        BASELINE config 4: the real sdr_54W_288K.ini —
+                        288 ksps, mix-only main (stages=0), late /6 chains
+  6. cband_66ch         BASELINE config 5 scale: 3 mains, 66 subs
+                        (CBAND_143E.ini's shape ~4x the channel count)
+
+Each entry reports the PALLAS product mode (with automatic XLA fallback if
+a kernel shape is unsupported), block = ~1 s of signal rounded to the plan
+divisor, and measurement validity per obs/timing.honest_step_detail.
+
+    python tools/bench_matrix.py [--out BENCH_MATRIX_r05.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+
+
+def _single_vfo_ini() -> str:
+    return """
+sample_rate=1536000
+center_frequency=1545600000
+zmq_address=tcp://*:6003
+correct_dc_bias=1
+[main_vfos]
+size=1
+1\\frequency=1545116000
+1\\out_rate=384000
+[vfos]
+size=1
+1\\frequency=1545005146
+1\\gain=5
+1\\data_rate=600
+1\\topic=VFO01
+"""
+
+
+def _main_4lpf_ini() -> str:
+    lines = [
+        "sample_rate=1536000",
+        "center_frequency=1545600000",
+        "zmq_address=tcp://*:6003",
+        "correct_dc_bias=1",
+        "[main_vfos]",
+        "size=1",
+        "1\\frequency=1545116000",
+        "1\\out_rate=384000",
+        "[vfos]",
+        "size=4",
+    ]
+    for i in range(1, 5):
+        lines += [
+            f"{i}\\frequency={1545005000 + 11000 * i}",
+            f"{i}\\gain=5",
+            f"{i}\\out_rate=48000",
+            f"{i}\\filter_bandwidth=10000",
+            f"{i}\\topic=LPF{i:02d}",
+        ]
+    return "\n".join(lines)
+
+
+def _cband_scale_ini(n_subs: int = 66) -> str:
+    """Config 5 shape (mirrors tests/test_dist.py)."""
+    centers = (1545116000, 1546096000, 1546796000)
+    rates = (384000, 192000, 192000)
+    lines = [
+        "sample_rate=1536000",
+        "center_frequency=1545900000",
+        "zmq_address=tcp://*:6003",
+        "correct_dc_bias=1",
+        "[main_vfos]",
+        f"size={len(centers)}",
+    ]
+    for i, (f, r) in enumerate(zip(centers, rates), 1):
+        lines += [f"{i}\\frequency={f}", f"{i}\\out_rate={r}"]
+    lines += ["[vfos]", f"size={n_subs}"]
+    for i in range(1, n_subs + 1):
+        g = (i - 1) % 3
+        freq = centers[g] - rates[g] // 3 + (i // 3) * 9000
+        dr = (600, 1200, 10500)[g]
+        lines += [
+            f"{i}\\frequency={freq}",
+            f"{i}\\gain=5",
+            f"{i}\\data_rate={dr}",
+            f"{i}\\topic=CH{i:03d}",
+        ]
+        if i % 5 == 0:
+            lines.append(f"{i}\\filter_bandwidth=4000")
+    return "\n".join(lines)
+
+
+def measure(name, plan, on_tpu: bool) -> dict:
+    import jax
+
+    from sdrreceiver_tpu.graph.compiler import CompiledReceiver
+    from sdrreceiver_tpu.obs.timing import honest_burst_seconds, honest_step_detail
+
+    # ~1 s of signal, rounded up to the plan divisor AND to a group-rate
+    # 256-lane alignment so every bucket kernel's t_len tiles (the Pallas
+    # kernels want LANES-multiple lengths at the GROUP rate; e.g. 1.92 Ms
+    # blocks leave tg = block>>3 = 240000 unaligned, silently dropping all
+    # bucket kernels)
+    div = plan.block_divisor()
+    for g in plan.groups:
+        if not g.direct and any(b.stages >= 1 for b in g.buckets):
+            div = int(np.lcm(div, 256 << g.stages))
+        elif not g.direct and g.stages >= 1:
+            div = int(np.lcm(div, 256))
+    want = plan.fs if on_tpu else plan.fs // 8
+    block = ((want + div - 1) // div) * div
+    mode = "pallas"
+    try:
+        rx = CompiledReceiver(plan, block, use_pallas=on_tpu,
+                              pallas_interpret=not on_tpu)
+        if on_tpu and not (rx._kernels or rx._front_merged):
+            mode = "pallas(no-kernels)=xla"
+    except Exception as e:
+        print(f"{name}: pallas build failed ({e}); xla fallback",
+              file=sys.stderr)
+        rx, mode = CompiledReceiver(plan, block), "xla"
+    n_small, n_big = (2, 8) if on_tpu else (2, 4)
+    try:
+        d = honest_step_detail(rx, n_small, n_big)
+    except Exception as e:
+        print(f"{name}: pallas run failed ({e}); xla fallback",
+              file=sys.stderr)
+        rx, mode = CompiledReceiver(plan, block), "xla"
+        d = honest_step_detail(rx, n_small, n_big)
+    sps = block / d["seconds"] if d["seconds"] > 0 else 0.0
+    burst_sps = None
+    try:
+        dtb = honest_burst_seconds(rx, k=8, m_small=1, m_big=3 if on_tpu else 2)
+        burst_sps = block / dtb if dtb > 0 else None
+    except Exception as e:
+        print(f"{name}: burst failed ({e})", file=sys.stderr)
+    # plausibility cross-check: the step CANNOT be much faster than the
+    # burst path (same work, amortized dispatch) — a step reading >3x the
+    # burst throughput means the differential collapsed (observed once:
+    # 14.6 us/1.5 Ms block = 105 Gsps, vs a correct 344 us re-measure).
+    # Retry once; if still implausible, publish the burst-bounded figure
+    # and mark the measurement invalid.
+    if burst_sps and sps > 3 * burst_sps:
+        print(f"{name}: implausible step ({sps/1e6:.0f} Msps vs burst "
+              f"{burst_sps/1e6:.0f}); re-measuring", file=sys.stderr)
+        d = honest_step_detail(rx, n_small, n_big, seed=1)
+        sps = block / d["seconds"] if d["seconds"] > 0 else 0.0
+        if sps > 3 * burst_sps:
+            sps = burst_sps
+            d = dict(d)
+            d["valid"] = False
+    return {
+        "config": name,
+        "fs": plan.fs,
+        "channels": plan.num_channels(),
+        "groups": len(plan.groups),
+        "block": block,
+        "mode": mode,
+        "step_us": round(d["seconds"] * 1e6, 1),
+        "step_us_median": round(d["seconds_median"] * 1e6, 1),
+        "msps": round(sps / 1e6, 1),
+        "burst_msps": round(burst_sps / 1e6, 1) if burst_sps else None,
+        "vs_baseline": round(max(sps, burst_sps or 0.0) / 1e9, 3),
+        "realtime_factor": round(sps / plan.fs, 1),
+        "measurement_valid": bool(d.get("valid", True)),
+        "attempts": d.get("attempts"),
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=os.path.join(_ROOT, "BENCH_MATRIX_r05.json"))
+    ap.add_argument("--only", default=None, help="comma list of config names")
+    args = ap.parse_args()
+
+    import jax
+
+    from __graft_entry__ import _benchmark_config
+    from sdrreceiver_tpu.graph import build_plan, load_ini, parse_ini_text
+
+    dev = jax.devices()[0]
+    on_tpu = "tpu" in dev.platform.lower() or "TPU" in str(dev)
+
+    cases = {
+        "flagship_27ch": lambda: build_plan(_benchmark_config()),
+        "single_vfo": lambda: build_plan(parse_ini_text(_single_vfo_ini())),
+        "main_4lpf": lambda: build_plan(parse_ini_text(_main_4lpf_ini())),
+        "sdr54W_all_1920k": lambda: build_plan(
+            load_ini("/root/reference/sample_ini/sdr_54W_all.ini")
+        ),
+        "sdr54W_288k": lambda: build_plan(
+            load_ini("/root/reference/sample_ini/sdr_54W_288K.ini")
+        ),
+        "cband_66ch": lambda: build_plan(parse_ini_text(_cband_scale_ini(66))),
+    }
+    only = set(args.only.split(",")) if args.only else None
+    rows = []
+    for name, mk in cases.items():
+        if only and name not in only:
+            continue
+        try:
+            row = measure(name, mk(), on_tpu)
+        except Exception as e:
+            row = {"config": name, "error": str(e)[:300]}
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    out = {"device": str(dev), "rows": rows,
+           "method": "honest fetch-forced differential (obs/timing.py), "
+                     "~1 s blocks, pallas product mode"}
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {args.out}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
