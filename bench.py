@@ -93,7 +93,6 @@ def main() -> int:
     from sdrreceiver_tpu.obs.timing import (
         honest_burst_seconds,
         honest_step_detail,
-        honest_step_seconds,
     )
 
     plan = build_plan(_benchmark_config())
@@ -160,15 +159,27 @@ def main() -> int:
         hbm_util = bytes_min / dt / peak_bw
 
     # -- single-chip shard overhead (docs/SCALING.md): the same plan through
-    # the sharded receiver on a 1x1 mesh of this chip, honest method
-    shard_overhead = None
+    # the sharded receiver on a 1x1 mesh of this chip.  Round-robin A/B in
+    # ONE session (obs/timing.honest_ab_seconds): the round-4 sequential
+    # measurement straddled session drift and published a meaningless
+    # NEGATIVE overhead (-0.25)
+    shard_overhead = shard_step_us = shard_ab_valid = None
     try:
         from sdrreceiver_tpu.dist import ShardedReceiver, make_mesh
+        from sdrreceiver_tpu.obs.timing import honest_ab_seconds
 
         mesh = make_mesh(n_time=1, n_chan=1, devices=[dev])
         rx_sh = ShardedReceiver(plan, mesh, block)
-        dt_sh = honest_step_seconds(rx_sh, n_small, n_big)
-        shard_overhead = dt_sh / dt_xla - 1.0
+        ab = honest_ab_seconds(
+            {"unsharded": rx_xla, "mesh1x1": rx_sh}, n_small, n_big
+        )
+        shard_step_us = round(ab["mesh1x1"]["seconds"] * 1e6, 1)
+        shard_overhead = (
+            ab["mesh1x1"]["seconds"] / ab["unsharded"]["seconds"] - 1.0
+        )
+        shard_ab_valid = bool(
+            ab["mesh1x1"]["valid"] and ab["unsharded"]["valid"]
+        )
     except Exception as e:
         print(f"shard-overhead measurement failed: {e}", file=sys.stderr)
 
@@ -253,6 +264,8 @@ def main() -> int:
         "shard_overhead": (
             round(shard_overhead, 4) if shard_overhead is not None else None
         ),
+        "shard_step_us": shard_step_us,
+        "shard_ab_valid": shard_ab_valid,
         "stage_us": stage_us,
         "stage_noise_us": stage_noise_us,
         "stages_below_noise": stages_below_noise,

@@ -30,7 +30,12 @@ import time
 
 import numpy as np
 
-__all__ = ["honest_step_seconds", "honest_step_detail", "honest_burst_seconds"]
+__all__ = [
+    "honest_step_seconds",
+    "honest_step_detail",
+    "honest_burst_seconds",
+    "honest_ab_seconds",
+]
 
 
 def _checksum(outs):
@@ -138,6 +143,84 @@ def honest_step_seconds(
     """Honest seconds per ingest block of ``rx``'s u8 step (best estimate;
     see :func:`honest_step_detail` for the spread)."""
     return honest_step_detail(rx, n_small, n_big, reps, seed)["seconds"]
+
+
+def honest_ab_seconds(
+    rxs: dict,
+    n_small: int = 2,
+    n_big: int = 8,
+    rounds: int = 5,
+    seed: int = 0,
+) -> dict:
+    """Same-session ROUND-ROBIN comparison of several receivers' u8 steps.
+
+    Sequential honest_step_detail calls straddle the remote session's
+    minute-scale speed drift, which can dwarf a small A-B difference
+    (round-4's shard_overhead came out NEGATIVE).  Here every receiver's
+    small and big scan programs are compiled FIRST, then timed interleaved
+    over ``rounds`` rounds (min per program), so all variants share the
+    same session state.  Returns ``{name: {"seconds", "seconds_median",
+    "valid"}}``; inputs are shared across variants (``rx.globalize`` is
+    NOT applied — single-process receivers only).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    blocks = {rx.block for rx in rxs.values()}
+    if len(blocks) != 1:
+        raise ValueError(f"receivers disagree on block: {blocks}")
+    block = blocks.pop()
+    xs_big = jax.device_put(jnp.asarray(
+        rng.integers(0, 256, (n_big, 2 * block)).astype(np.uint8)
+    ))
+    xs_small = xs_big[:n_small]
+
+    progs: dict[str, dict] = {}
+    for name, rx in rxs.items():
+        body = rx._vec(rx._step_u8)
+        vec0 = rx.init_state()
+
+        def make(body=body, vec0=vec0):
+            @jax.jit
+            def prog(xs):
+                def b(carry, x):
+                    vec, acc = carry
+                    vec2, outs = body(vec, x)
+                    return (vec2, acc + _checksum(outs)), None
+                (_, s), _ = jax.lax.scan(
+                    b, (vec0, jnp.zeros((), jnp.float32)), xs
+                )
+                return s
+            return prog
+
+        p = make()
+        _ = float(p(xs_small))  # compile both sizes before ANY timing
+        _ = float(p(xs_big))
+        progs[name] = {"prog": p}
+
+    raw = {name: {n_small: [], n_big: []} for name in rxs}
+    for _r in range(rounds):
+        for name in rxs:
+            for n, xs in ((n_small, xs_small), (n_big, xs_big)):
+                t0 = time.perf_counter()
+                _ = float(progs[name]["prog"](xs))
+                raw[name][n].append(time.perf_counter() - t0)
+    dn = n_big - n_small
+    result = {}
+    for name in rxs:
+        best = (min(raw[name][n_big]) - min(raw[name][n_small])) / dn
+        med = (
+            float(np.median(raw[name][n_big]))
+            - float(np.median(raw[name][n_small]))
+        ) / dn
+        result[name] = {
+            "seconds": best,
+            "seconds_median": med,
+            "valid": best > 0 and med > 0
+            and med <= 3 * best and best <= 3 * med,
+        }
+    return result
 
 
 def honest_burst_seconds(

@@ -136,3 +136,29 @@ class TestFetch:
         # restricted array: must go through the jitted standalone copy
         fetch_mod.fetch_np(FakeRestricted())
         assert copied
+
+
+class TestHonestTiming:
+    def test_ab_seconds_roundrobin(self):
+        """honest_ab_seconds: compiles all variants first, times them
+        interleaved, returns per-variant differential + validity (the
+        bench's shard-overhead A/B uses this; the round-4 sequential
+        measurement published a negative overhead)."""
+        from sdrreceiver_tpu.obs.timing import honest_ab_seconds
+
+        res = honest_ab_seconds(
+            {"a": _rx(), "b": _rx()}, n_small=1, n_big=3, rounds=2
+        )
+        assert set(res) == {"a", "b"}
+        for v in res.values():
+            assert set(v) >= {"seconds", "seconds_median", "valid"}
+            assert np.isfinite(v["seconds"])
+
+    def test_ab_seconds_block_mismatch_rejected(self):
+        import pytest
+
+        from sdrreceiver_tpu.obs.timing import honest_ab_seconds
+
+        other = CompiledReceiver(build_plan(parse_ini_text(INI)), 2 * BLOCK)
+        with pytest.raises(ValueError, match="block"):
+            honest_ab_seconds({"a": _rx(), "b": other})
