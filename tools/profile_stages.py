@@ -200,13 +200,16 @@ def measure_stage(stage: str, block: int | None, loops: int,
 
     sys.path.insert(0, ".")
     from __graft_entry__ import _benchmark_config
-    from sdrreceiver_tpu.graph import build_plan
+    from sdrreceiver_tpu.graph import build_plan, load_ini
     from sdrreceiver_tpu.graph.compiler import CompiledReceiver
 
     dev = jax.devices()[0]
     on_tpu = "tpu" in dev.platform.lower() or "TPU" in str(dev)
-    plan = build_plan(_benchmark_config())
-    block = block or (1536000 if on_tpu else 98304)
+    plan = build_plan(load_ini(ini) if ini else _benchmark_config())
+    if block is None:
+        div = plan.block_divisor()
+        want = plan.fs if on_tpu else plan.fs // 8
+        block = ((want + div - 1) // div) * div
 
     def make_xs(n1, n2):
         rng = np.random.default_rng(0)
@@ -266,7 +269,8 @@ def measure_stage(stage: str, block: int | None, loops: int,
             "valid": valid, "block": block, "device": str(dev)}
 
 
-def roundrobin(block: int | None, pallas: bool, rounds: int = 5) -> dict:
+def roundrobin(block: int | None, pallas: bool, rounds: int = 5,
+               ini: str | None = None) -> dict:
     """ALL cumulative cuts timed in ONE process, round-robin.
 
     The per-subprocess ablation (measure_stage) publishes each cut from a
@@ -392,6 +396,9 @@ def main() -> int:
     ap.add_argument("--pallas", action="store_true",
                     help="build the variant receiver with the fused Pallas "
                     "front (cuts then profile the pallas product path)")
+    ap.add_argument("--ini", default=None,
+                    help="profile this ini's plan instead of the flagship "
+                    "(roundrobin mode only)")
     ap.add_argument("--roundrobin", action="store_true",
                     help="all cuts in ONE process, interleaved timing "
                     "(immune to between-process session drift); one JSON "
@@ -399,7 +406,8 @@ def main() -> int:
     args = ap.parse_args()
 
     if args.roundrobin:
-        print(json.dumps(roundrobin(args.block, pallas=args.pallas)))
+        print(json.dumps(roundrobin(args.block, pallas=args.pallas,
+                                    ini=args.ini)))
         return 0
 
     if args.stage:
