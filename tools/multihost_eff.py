@@ -18,7 +18,7 @@ sdr_54W_all when present) this records:
     claim — the eff claim rests on balance (exact) + the DCN fraction
     (<1%), both printed here.
 
-Usage:  python tools/multihost_eff.py [--out EFF_r04.json]
+Usage:  python tools/multihost_eff.py [--out EFF_r05.json]
 """
 
 from __future__ import annotations
@@ -161,7 +161,8 @@ def _measured_global_run(ini_text: str, tmp: pathlib.Path) -> dict:
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="EFF_r04.json")
+    ap.add_argument("--out", default="EFF_r05.json")
+    ap.add_argument("--round", type=int, default=5)
     ap.add_argument("--skip-measured", action="store_true")
     args = ap.parse_args()
 
@@ -185,7 +186,7 @@ def main() -> int:
                     entry["measured_2proc_global"] = {"error": str(e)[:500]}
         configs[name] = entry
 
-    artifact = {"round": 4, "configs": configs}
+    artifact = {"round": args.round, "configs": configs}
     out = pathlib.Path(args.out)
     out.write_text(json.dumps(artifact, indent=1))
     print(json.dumps(artifact))
