@@ -174,7 +174,7 @@ class ShardedReceiver(CompiledReceiver):
         return vec
 
     # -- front end under shard_map ------------------------------------------
-    def _front(self, state: dict, x, dc_mean=None):
+    def _front(self, state: dict, x, dc_mean=None, x_rows=None):
         """Fully planar, boundary to internals: the halo kernels (dist.halo)
         operate on (re, im) f32 pairs / stacked [2, ...] planes inside the
         shard_map — no complex64 array exists anywhere in the sharded front

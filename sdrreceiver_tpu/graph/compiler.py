@@ -408,11 +408,18 @@ class CompiledReceiver:
     def _step_u8(self, state: dict, raw: jax.Array):
         if self._dc_kernel_u8 is not None:
             # fused ingest+DC: deinterleave at u8 width, convert + DC-correct
-            # in ONE Pallas pass (pallas/dckernel.py in_dtype=int8)
-            mean, x = self._dc_kernel_u8(
-                state["dc"], ingest.u8_iq_to_i8_planar(raw)
+            # in ONE Pallas pass (pallas/dckernel.py in_dtype=int8).  The
+            # full-rate planes stay in ROW form ([T/256, 256]) between the
+            # DC kernel and the mix kernels — flattening to 1-D at each
+            # pallas boundary is an XLA layout conversion (~170 us per
+            # plane-pair per boundary, round 5); the 1-D views handed to
+            # the non-kernel consumers (xtail, taps, jnp fallbacks) fuse
+            # into their small gathers
+            mean, x_rows = self._dc_kernel_u8(
+                state["dc"], ingest.u8_iq_to_i8_rows(raw)
             )
-            return self._step_planar(state, x, dc_mean=mean)
+            x = (x_rows[0].reshape(-1), x_rows[1].reshape(-1))
+            return self._step_planar(state, x, dc_mean=mean, x_rows=x_rows)
         return self._step_planar(state, ingest.u8_iq_to_planar(raw))
 
     def _step_f32(self, state: dict, raw: jax.Array):
@@ -423,15 +430,19 @@ class CompiledReceiver:
         above are the TPU product path."""
         return self._step_planar(state, (iq.real, iq.imag))
 
-    def _front(self, state: dict, x, dc_mean=None):
+    def _front(self, state: dict, x, dc_mean=None, x_rows=None):
         """DC removal + every group's full-rate mix + half-band cascade.
 
         ``x`` is the planar ``(re, im)`` input pair.  ``dc_mean`` non-None
         means the entry already fused ingest+DC (``_step_u8``'s i8 kernel):
-        ``x`` is post-DC and ``dc_mean`` is the new carried mean.  Returns
-        ``(partial new_state, post-DC planar x, {gk: (zr, zi) [1, Tg]})``.
-        ``ShardedReceiver`` overrides this with a shard_map over the time
-        mesh axis; the bucket back half below is shared."""
+        ``x`` is post-DC and ``dc_mean`` is the new carried mean.
+        ``x_rows`` (optional) is the same signal as ``([T/256, 256],
+        [T/256, 256])`` row planes — the layout the Pallas kernels tile
+        on; when present the kernel inputs are built in row space so no
+        1-D<->rows layout conversion happens at the pallas boundaries.
+        Returns ``(partial new_state, post-DC planar x, {gk: (zr, zi)
+        [1, Tg]})``.  ``ShardedReceiver`` overrides this with a shard_map
+        over the time mesh axis; the bucket back half below is shared."""
         plan = self.plan
         new_state: dict[str, Any] = {}
         if dc_mean is not None:
@@ -446,6 +457,7 @@ class CompiledReceiver:
             new_state["dc"] = state["dc"]
         xr, xi = x
         zs: dict[str, tuple[jax.Array, jax.Array]] = {}
+        zs_rows: dict[int, tuple[jax.Array, jax.Array]] = {}
         merged_z: dict[int, tuple[jax.Array, jax.Array]] = {}
         merged_ext = None
         if self._front_merged is not None:
@@ -456,10 +468,24 @@ class CompiledReceiver:
                 [state[f"g{i}"]["nco"]["phase"] for i in gidxs]
             )
             ph = kern.phase_back(phases, mwarm)
-            mext_r = jnp.concatenate([xt[0, -mwarm:], xr])
-            mext_i = jnp.concatenate([xt[1, -mwarm:], xi])
-            merged_ext = (mext_r, mext_i, mwarm)
-            o3r, o3i = kern(ph, mext_r[None, :], mext_i[None, :])
+            # the kernel input tail == x's tail (mwarm <= block), so the
+            # per-group tail derivations below read x directly and the 1-D
+            # concatenated form never needs to materialize
+            merged_ext = mwarm
+            if x_rows is not None:
+                # concat in ROW space: the kernel gets pre-shaped planes
+                # (mwarm is a LANES multiple by pick_warmup)
+                ext_r3 = jnp.concatenate(
+                    [xt[0, -mwarm:].reshape(-1, 256), x_rows[0]]
+                )[None]
+                ext_i3 = jnp.concatenate(
+                    [xt[1, -mwarm:].reshape(-1, 256), x_rows[1]]
+                )[None]
+                o3r, o3i = kern(ph, ext_r3, ext_i3)
+            else:
+                mext_r = jnp.concatenate([xt[0, -mwarm:], xr])
+                mext_i = jnp.concatenate([xt[1, -mwarm:], xi])
+                o3r, o3i = kern(ph, mext_r[None, :], mext_i[None, :])
             by_index = {g.index: g for g in plan.groups}
             for ci, gi in enumerate(gidxs):
                 gm = by_index[gi]
@@ -468,6 +494,13 @@ class CompiledReceiver:
                 fr = o3r[ci, :, :l_c].reshape(-1)[drop:]
                 fi = o3i[ci, :, :l_c].reshape(-1)[drop:]
                 merged_z[gi] = (fr[None, :], fi[None, :])
+                if x_rows is not None and fr.shape[0] % 256 == 0:
+                    # group-rate ROW planes for the bucket kernels (one
+                    # relayout here instead of one per bucket pallas
+                    # boundary)
+                    zs_rows[gi] = (
+                        fr.reshape(-1, 256), fi.reshape(-1, 256)
+                    )
         for g in plan.groups:
             gk = f"g{g.index}"
             gs = state[gk]
@@ -480,8 +513,8 @@ class CompiledReceiver:
                 ngs["nco"]["phase"] = nco.advance_per_block(
                     gs["nco"], plan.fs, self.block
                 )
-                mext_r, mext_i, mwarm = merged_ext
-                tail = (mext_r[-mwarm:], mext_i[-mwarm:])
+                mwarm = merged_ext
+                tail = (xr[-mwarm:], xi[-mwarm:])
                 tph = nco.phase_minus(ngs["nco"], plan.fs, mwarm)
                 tst = dict(gs["nco"])
                 tst["phase"] = tph
@@ -496,18 +529,35 @@ class CompiledReceiver:
                 kern, warm = self._kernels[gk]
                 xt = state["xtail"]
                 ph = nco.phase_minus(gs["nco"], plan.fs, warm)
-                ext_r = jnp.concatenate([xt[0, -warm:], xr])
-                ext_i = jnp.concatenate([xt[1, -warm:], xi])
-                yr, yi = kern(ph, ext_r[None, :], ext_i[None, :])
+                if x_rows is not None:
+                    yr, yi = kern(
+                        ph,
+                        jnp.concatenate(
+                            [xt[0, -warm:].reshape(-1, 256), x_rows[0]]
+                        )[None],
+                        jnp.concatenate(
+                            [xt[1, -warm:].reshape(-1, 256), x_rows[1]]
+                        )[None],
+                    )
+                else:
+                    ext_r = jnp.concatenate([xt[0, -warm:], xr])
+                    ext_i = jnp.concatenate([xt[1, -warm:], xi])
+                    yr, yi = kern(ph, ext_r[None, :], ext_i[None, :])
                 drop = warm >> g.stages
                 zs[gk] = (yr[:, drop:], yi[:, drop:])
+                if x_rows is not None and (yr.shape[1] - drop) % 256 == 0:
+                    zs_rows[g.index] = (
+                        yr[0, drop:].reshape(-1, 256),
+                        yi[0, drop:].reshape(-1, 256),
+                    )
                 ngs["nco"] = dict(gs["nco"])
                 ngs["nco"]["phase"] = nco.advance_per_block(
                     gs["nco"], plan.fs, self.block
                 )
                 # canonical cascade histories re-derived from the block's
-                # mixed tail (exact by washout; keeps state mode-portable)
-                tail = (ext_r[-warm:], ext_i[-warm:])
+                # mixed tail (exact by washout; keeps state mode-portable);
+                # the kernel-input tail == x's tail since warm <= block
+                tail = (xr[-warm:], xi[-warm:])
                 tph = nco.phase_minus(ngs["nco"], plan.fs, warm)
                 tst = dict(gs["nco"])
                 tst["phase"] = tph
@@ -522,6 +572,10 @@ class CompiledReceiver:
                 )
                 zs[gk] = z
             new_state[gk] = ngs
+        for gi, pair in zs_rows.items():
+            # group-rate ROW planes for the bucket kernels, keyed apart
+            # from the group entries (consumed by _step_planar only)
+            zs[f"rows/g{gi}"] = pair
         return new_state, x, zs
 
     def _constrain_chan(self, y: jax.Array, channels: int) -> jax.Array:
@@ -577,6 +631,7 @@ class CompiledReceiver:
         z,
         outputs: dict[str, jax.Array],
         state: dict | None = None,
+        z_rows=None,
     ) -> dict:
         """One sub-VFO bucket's full pipeline on the planar group baseband
         ``z = (zr, zi)`` ``[1, Tg]``: mix, half-band cascade, per-channel
@@ -594,10 +649,24 @@ class CompiledReceiver:
             # warm-up prefix = previous block's group output tail,
             # re-derived from the carried xtail (state stays canonical)
             ztr, zti = self._prev_group_tail(state, g, warm)
-            ext_r = jnp.concatenate([ztr, zr], axis=-1)
-            ext_i = jnp.concatenate([zti, zi], axis=-1)
             ph = nco.phase_minus(bs["nco"], fs_b, warm)
-            yr, yi = kern(ph, ext_r, ext_i)
+            if z_rows is not None and warm % 256 == 0:
+                # group output already in ROW planes: concat the warm-up
+                # in row space so the kernel input needs no 1-D->rows
+                # layout conversion (see _front / kernels/ingest.py)
+                yr, yi = kern(
+                    ph,
+                    jnp.concatenate(
+                        [ztr.reshape(-1, 256), z_rows[0]]
+                    )[None],
+                    jnp.concatenate(
+                        [zti.reshape(-1, 256), z_rows[1]]
+                    )[None],
+                )
+            else:
+                ext_r = jnp.concatenate([ztr, zr], axis=-1)
+                ext_i = jnp.concatenate([zti, zi], axis=-1)
+                yr, yi = kern(ph, ext_r, ext_i)
             drop = warm >> b.stages
             y = (yr[:, drop:], yi[:, drop:])
             nbs["nco"] = dict(bs["nco"])
@@ -605,10 +674,12 @@ class CompiledReceiver:
                 bs["nco"], fs_b, zr.shape[-1]
             )
             # canonical bucket cascade histories from the mixed tail
+            # (the kernel-input tail == the group output's tail, since
+            # warm <= Tg)
             nst = dict(nbs["nco"])
             nst["phase"] = nco.phase_minus(nbs["nco"], fs_b, warm)
             _, ztail = nco.mix_block_planar(
-                nst, (ext_r[0, -warm:], ext_i[0, -warm:]), fs_b
+                nst, (zr[0, -warm:], zi[0, -warm:]), fs_b
             )
             nbs["cascade"] = halfband.cascade_tails_from_tail(
                 ztail, self._consts[f"{bk}/hb"], b.stages
@@ -655,11 +726,13 @@ class CompiledReceiver:
         outputs[f"pcm/{bk}"] = pcm.reshape(-1)
         return nbs
 
-    def _step_planar(self, state: dict, x, dc_mean=None):
+    def _step_planar(self, state: dict, x, dc_mean=None, x_rows=None):
         plan = self.plan
         outputs: dict[str, jax.Array] = {}
 
-        new_state, x, zs = self._front(state, x, dc_mean=dc_mean)
+        new_state, x, zs = self._front(
+            state, x, dc_mean=dc_mean, x_rows=x_rows
+        )
         if self.xtail_len():
             p = self.xtail_len()
             new_state["xtail"] = jnp.stack([x[0][-p:], x[1][-p:]])
@@ -679,7 +752,8 @@ class CompiledReceiver:
                 )
             for bi in range(len(g.buckets)):
                 ngs[f"b{bi}"] = self._bucket_step(
-                    g, bi, gs[f"b{bi}"], z, outputs, state=state
+                    g, bi, gs[f"b{bi}"], z, outputs, state=state,
+                    z_rows=zs.get(f"rows/{gk}"),
                 )
         return new_state, outputs
 

@@ -22,6 +22,7 @@ import numpy as np
 __all__ = [
     "u8_iq_to_planar",
     "u8_iq_to_i8_planar",
+    "u8_iq_to_i8_rows",
     "f32_pairs_to_planar",
     "u8_iq_to_complex",
     "f32_pairs_to_complex",
@@ -57,6 +58,20 @@ def u8_iq_to_i8_planar(raw: jax.Array) -> tuple[jax.Array, jax.Array]:
     Mosaic cannot cast uint8, but int8 it can."""
     x = jax.lax.bitcast_convert_type(raw ^ np.uint8(0x80), jnp.int8)
     return _deinterleave(x)
+
+
+def u8_iq_to_i8_rows(raw: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """:func:`u8_iq_to_i8_planar` in ROW form: ``[2T] u8`` ->
+    ``([T/256, 256] i8, [T/256, 256] i8)``.
+
+    The row shape is the layout the Pallas kernels tile on.  Flattening to
+    1-D between kernels forces XLA layout conversions at every
+    pallas_call boundary — measured ~170 us per plane-pair round trip on a
+    1.536 Ms block (round 5) — so the u8 product path keeps full-rate
+    planes as rows end to end.  Requires ``2T % 512 == 0``."""
+    x = jax.lax.bitcast_convert_type(raw ^ np.uint8(0x80), jnp.int8)
+    rows = x.reshape(-1, 2 * _LANES)
+    return rows[:, 0::2], rows[:, 1::2]
 
 
 def f32_pairs_to_planar(raw: jax.Array) -> tuple[jax.Array, jax.Array]:

@@ -157,6 +157,11 @@ class DcKernel:
         t_len = self.t_len
 
         def call(mean, xr, xi):
+            # row-shaped ([T/256, 256]) planes pass through without the
+            # 1-D<->rows reshapes: each reshape at a pallas_call boundary
+            # is an XLA layout conversion (~170 us/plane-pair on a 1.536 Ms
+            # block, round 5) unless producer and consumer agree on rows
+            rows_in = xr.ndim == 2
             outs = pl.pallas_call(
                 kernel,
                 grid=grid,
@@ -167,14 +172,16 @@ class DcKernel:
                 interpret=interpret,
             )(
                 mean.reshape(1, 2),
-                xr.reshape(-1, _LANES),
-                xi.reshape(-1, _LANES),
+                xr if rows_in else xr.reshape(-1, _LANES),
+                xi if rows_in else xi.reshape(-1, _LANES),
                 jnp.asarray(w),
                 jnp.asarray(rm),
                 jnp.asarray(a_j1),
                 jnp.asarray(a_row),
             )
             m2, yr3, yi3 = outs
+            if rows_in:
+                return m2.reshape(2), (yr3, yi3)
             return m2.reshape(2), (yr3.reshape(t_len), yi3.reshape(t_len))
 
         return call

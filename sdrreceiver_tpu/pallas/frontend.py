@@ -477,8 +477,12 @@ class MixCascadeKernel:
                 ]
             )
             n_in = 1 if shared else c_chan
-            xr3 = xr.reshape(n_in, n_tiles * r, lanes)
-            xi3 = xi.reshape(n_in, n_tiles * r, lanes)
+            # accept pre-shaped [n_in, R, lanes] row planes: the 1-D->rows
+            # reshape at this boundary is an XLA layout conversion costing
+            # ~170 us per plane-pair on a 1.536 Ms block (round 5) unless
+            # the producer already emits rows
+            xr3 = xr if xr.ndim == 3 else xr.reshape(n_in, n_tiles * r, lanes)
+            xi3 = xi if xi.ndim == 3 else xi.reshape(n_in, n_tiles * r, lanes)
             outs = pl.pallas_call(
                 kernel,
                 grid=grid,
