@@ -259,3 +259,26 @@ class TestIngest:
         raw = jnp.asarray([1.0, -2.0, 3.0, 4.0], jnp.float32)
         y = np.asarray(ingest.f32_pairs_to_complex(raw))
         np.testing.assert_array_equal(y, [1 - 2j, 3 + 4j])
+
+    def test_i8_forms_match_u8_lut(self, rng):
+        """The fused-ingest i8 planes (flat and ROW form) carry u8 - 128;
+        +1 after the kernel's f32 cast reproduces the LUT value u8 - 127
+        exactly, and the row form is the flat form reshaped."""
+        t = 1024
+        raw = jnp.asarray(rng.integers(0, 256, 2 * t).astype(np.uint8))
+        ref_r, ref_i = ingest.u8_iq_to_planar(raw)
+        fr, fi = ingest.u8_iq_to_i8_planar(raw)
+        np.testing.assert_array_equal(
+            np.asarray(fr, np.float32) + 1.0, np.asarray(ref_r)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(fi, np.float32) + 1.0, np.asarray(ref_i)
+        )
+        rr, ri = ingest.u8_iq_to_i8_rows(raw)
+        assert rr.shape == (t // 256, 256)
+        np.testing.assert_array_equal(
+            np.asarray(rr).reshape(-1), np.asarray(fr)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ri).reshape(-1), np.asarray(fi)
+        )

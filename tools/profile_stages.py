@@ -200,16 +200,13 @@ def measure_stage(stage: str, block: int | None, loops: int,
 
     sys.path.insert(0, ".")
     from __graft_entry__ import _benchmark_config
-    from sdrreceiver_tpu.graph import build_plan, load_ini
+    from sdrreceiver_tpu.graph import build_plan
     from sdrreceiver_tpu.graph.compiler import CompiledReceiver
 
     dev = jax.devices()[0]
     on_tpu = "tpu" in dev.platform.lower() or "TPU" in str(dev)
-    plan = build_plan(load_ini(ini) if ini else _benchmark_config())
-    if block is None:
-        div = plan.block_divisor()
-        want = plan.fs if on_tpu else plan.fs // 8
-        block = ((want + div - 1) // div) * div
+    plan = build_plan(_benchmark_config())
+    block = block or (1536000 if on_tpu else 98304)
 
     def make_xs(n1, n2):
         rng = np.random.default_rng(0)
@@ -294,8 +291,13 @@ def roundrobin(block: int | None, pallas: bool, rounds: int = 5,
 
     dev = jax.devices()[0]
     on_tpu = "tpu" in dev.platform.lower() or "TPU" in str(dev)
-    plan = build_plan(_benchmark_config())
-    block = block or (1536000 if on_tpu else 98304)
+    from sdrreceiver_tpu.graph import load_ini
+
+    plan = build_plan(load_ini(ini) if ini else _benchmark_config())
+    if block is None:
+        div = plan.block_divisor()
+        want = plan.fs if on_tpu else plan.fs // 8
+        block = ((want + div - 1) // div) * div
     rx = CompiledReceiver(plan, block, use_pallas=pallas and on_tpu,
                           pallas_interpret=pallas and not on_tpu)
     vec0 = rx.init_state()
