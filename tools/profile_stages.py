@@ -55,19 +55,22 @@ def _build_variant(rx, stage: str):
     def step(vec, raw):
         state = rx._svec.unpack(vec)
         outs = {}
+        x_rows = None
         if fused_u8:
-            # the product u8 path fuses ingest INTO the DC kernel; the
-            # "ingest" cut is then the u8->i8 deinterleave alone and the
-            # "dc" cut is the whole fused kernel (compiler._step_u8)
+            # the product u8 path fuses ingest INTO the DC kernel and keeps
+            # the planes in ROW form (compiler._step_u8); the "ingest" cut
+            # is the u8->i8 row deinterleave alone and the "dc" cut is the
+            # whole fused kernel
             if cut == 0:
-                x8 = ingest.u8_iq_to_i8_planar(raw)
+                x8 = ingest.u8_iq_to_i8_rows(raw)
                 return {"re": x8[0].astype(jnp.float32),
                         "im": x8[1].astype(jnp.float32)}
-            _, x = rx._dc_kernel_u8(
-                state["dc"], ingest.u8_iq_to_i8_planar(raw)
+            _, x_rows = rx._dc_kernel_u8(
+                state["dc"], ingest.u8_iq_to_i8_rows(raw)
             )
+            x = (x_rows[0].reshape(-1), x_rows[1].reshape(-1))
             if cut == 1:
-                return {"re": x[0], "im": x[1]}
+                return {"re": x_rows[0], "im": x_rows[1]}
         else:
             x = ingest.u8_iq_to_planar(raw)
             if cut == 0:
@@ -78,10 +81,11 @@ def _build_variant(rx, stage: str):
                 _, x = dc.dc_block_planar(state["dc"], x)
             if cut == 1:
                 return {"re": x[0], "im": x[1]}
-        _, _, zs = rx._front(state, x)
+        _, _, zs = rx._front(state, x, x_rows=x_rows)
         if cut == 2:
-            return {f"{k}_re": v[0][0] for k, v in zs.items()} | {
-                f"{k}_im": v[1][0] for k, v in zs.items()
+            gz = {k: v for k, v in zs.items() if not k.startswith("rows/")}
+            return {f"{k}_re": v[0][0] for k, v in gz.items()} | {
+                f"{k}_im": v[1][0] for k, v in gz.items()
             }
         for g in plan.groups:
             gk = f"g{g.index}"
@@ -98,11 +102,23 @@ def _build_variant(rx, stage: str):
                     ph = nco.phase_minus(
                         bs["nco"], b.mix_fs(g.out_rate), warm
                     )
-                    yr, yi = kern(
-                        ph,
-                        jnp.concatenate([ztr, zr], axis=-1),
-                        jnp.concatenate([zti, zi], axis=-1),
-                    )
+                    z_rows = zs.get(f"rows/{gk}")
+                    if z_rows is not None and warm % 256 == 0:
+                        yr, yi = kern(
+                            ph,
+                            jnp.concatenate(
+                                [ztr.reshape(-1, 256), z_rows[0]]
+                            )[None],
+                            jnp.concatenate(
+                                [zti.reshape(-1, 256), z_rows[1]]
+                            )[None],
+                        )
+                    else:
+                        yr, yi = kern(
+                            ph,
+                            jnp.concatenate([ztr, zr], axis=-1),
+                            jnp.concatenate([zti, zi], axis=-1),
+                        )
                     drop = warm >> b.stages
                     y = (yr[:, drop:], yi[:, drop:])
                     if b.late_factor > 1:
