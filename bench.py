@@ -158,14 +158,27 @@ def main() -> int:
         redo = honest_step_detail(
             rx_pal if mode == "pallas" else rx_xla, n_small, n_big, seed=1
         )
-        dt = _eff(redo)
-        sps = block / dt
-        detail = redo
-        if sps > 3 * burst_sps:
+        dt2 = _eff(redo)
+        if np.isfinite(dt2) and block / dt2 <= 3 * burst_sps:
+            dt, sps, detail = dt2, block / dt2, redo
+        else:
             dt = block / burst_sps
             sps = burst_sps
-            detail = dict(detail)
+            detail = dict(redo)
             detail["valid"] = False
+            detail.setdefault("seconds_median", dt)
+    # a fully degraded session (every measurement invalid) must not publish
+    # Infinity into the JSON: bound by the burst figure if there is one
+    if not np.isfinite(dt):
+        if burst_sps:
+            dt = block / burst_sps
+            sps = burst_sps
+        else:
+            dt = 0.0
+            sps = 0.0
+        detail = dict(detail or {})
+        detail["valid"] = False
+        detail.setdefault("seconds_median", dt)
 
     # -- roofline: model FLOPs+bytes over measured time
     cost = plan_cost_model(plan, block)

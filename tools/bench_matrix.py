@@ -122,7 +122,10 @@ def measure(name, plan, on_tpu: bool) -> dict:
     # bucket kernels)
     div = plan.block_divisor()
     for g in plan.groups:
-        if not g.direct and any(b.stages >= 1 for b in g.buckets):
+        # direct groups' bucket kernels run at the FULL input rate and
+        # need the same 256 alignment (g.stages is 0 there, so the shift
+        # is a no-op)
+        if any(b.stages >= 1 for b in g.buckets):
             div = int(np.lcm(div, 256 << g.stages))
         elif not g.direct and g.stages >= 1:
             div = int(np.lcm(div, 256))
@@ -165,9 +168,14 @@ def measure(name, plan, on_tpu: bool) -> dict:
         d = honest_step_detail(rx, n_small, n_big, seed=1)
         sps = block / d["seconds"] if d["seconds"] > 0 else 0.0
         if sps > 3 * burst_sps:
+            # publish the burst-bounded figure CONSISTENTLY: step_us and
+            # msps must agree (a bounded msps next to the collapsed 14.6 us
+            # step_us would contradict itself by ~70x)
             sps = burst_sps
             d = dict(d)
             d["valid"] = False
+            d["seconds"] = block / burst_sps
+            d["seconds_median"] = block / burst_sps
     return {
         "config": name,
         "fs": plan.fs,

@@ -56,6 +56,7 @@ def _build_variant(rx, stage: str):
         state = rx._svec.unpack(vec)
         outs = {}
         x_rows = None
+        dc_mean = None
         if fused_u8:
             # the product u8 path fuses ingest INTO the DC kernel and keeps
             # the planes in ROW form (compiler._step_u8); the "ingest" cut
@@ -65,7 +66,7 @@ def _build_variant(rx, stage: str):
                 x8 = ingest.u8_iq_to_i8_rows(raw)
                 return {"re": x8[0].astype(jnp.float32),
                         "im": x8[1].astype(jnp.float32)}
-            _, x_rows = rx._dc_kernel_u8(
+            dc_mean, x_rows = rx._dc_kernel_u8(
                 state["dc"], ingest.u8_iq_to_i8_rows(raw)
             )
             x = (x_rows[0].reshape(-1), x_rows[1].reshape(-1))
@@ -76,12 +77,15 @@ def _build_variant(rx, stage: str):
             if cut == 0:
                 return {"re": x[0], "im": x[1]}
             if plan.dc_correct and getattr(rx, "_dc_kernel", None) is not None:
-                _, x = rx._dc_kernel(state["dc"], x)
+                dc_mean, x = rx._dc_kernel(state["dc"], x)
             elif plan.dc_correct:
-                _, x = dc.dc_block_planar(state["dc"], x)
+                dc_mean, x = dc.dc_block_planar(state["dc"], x)
             if cut == 1:
                 return {"re": x[0], "im": x[1]}
-        _, _, zs = rx._front(state, x, x_rows=x_rows)
+        # x is already DC-corrected: pass dc_mean so _front does NOT run a
+        # second DC pass (would inflate the front..audio cuts by one full
+        # DC cost and deflate quantize+rest — a round-5 review finding)
+        _, _, zs = rx._front(state, x, dc_mean=dc_mean, x_rows=x_rows)
         if cut == 2:
             gz = {k: v for k, v in zs.items() if not k.startswith("rows/")}
             return {f"{k}_re": v[0][0] for k, v in gz.items()} | {
@@ -319,9 +323,6 @@ def roundrobin(block: int | None, pallas: bool, rounds: int = 5,
     vec0 = rx.init_state()
     rng = np.random.default_rng(0)
     n1, n2 = (2, 16) if on_tpu else (2, 6)
-    xs_big = None
-    import jax.numpy as jnp
-
     xs_big = jax.device_put(jnp.asarray(
         rng.integers(0, 256, (n2, 2 * block)).astype(np.uint8)
     ))
