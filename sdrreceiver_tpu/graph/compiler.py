@@ -423,6 +423,15 @@ class CompiledReceiver:
         return self._step_planar(state, ingest.u8_iq_to_planar(raw))
 
     def _step_f32(self, state: dict, raw: jax.Array):
+        if self._dc_kernel is not None and self.block % 256 == 0:
+            # f32-recording entry: same row-form plane discipline as the
+            # u8 path (the DC kernel passes rows through, the mix kernels
+            # take them pre-shaped — no 1-D<->rows layout conversions)
+            mean, x_rows = self._dc_kernel(
+                state["dc"], ingest.f32_pairs_to_rows(raw)
+            )
+            x = (x_rows[0].reshape(-1), x_rows[1].reshape(-1))
+            return self._step_planar(state, x, dc_mean=mean, x_rows=x_rows)
         return self._step_planar(state, ingest.f32_pairs_to_planar(raw))
 
     def _step_iq(self, state: dict, iq: jax.Array):

@@ -24,6 +24,7 @@ __all__ = [
     "u8_iq_to_i8_planar",
     "u8_iq_to_i8_rows",
     "f32_pairs_to_planar",
+    "f32_pairs_to_rows",
     "u8_iq_to_complex",
     "f32_pairs_to_complex",
 ]
@@ -77,6 +78,14 @@ def u8_iq_to_i8_rows(raw: jax.Array) -> tuple[jax.Array, jax.Array]:
 def f32_pairs_to_planar(raw: jax.Array) -> tuple[jax.Array, jax.Array]:
     """``[2T] float32`` interleaved I,Q -> planar pair (sdrj.cpp:271-276)."""
     return _deinterleave(raw)
+
+
+def f32_pairs_to_rows(raw: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """``[2T] f32`` interleaved -> ``([T/256, 256], [T/256, 256])`` row
+    planes (see :func:`u8_iq_to_i8_rows` for why rows).  Requires
+    ``2T % 512 == 0``."""
+    rows = raw.reshape(-1, 2 * _LANES)
+    return rows[:, 0::2], rows[:, 1::2]
 
 
 def u8_iq_to_complex(raw: jax.Array) -> jax.Array:

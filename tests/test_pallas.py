@@ -371,3 +371,19 @@ class TestFusedU8Path:
                 - np.asarray(o2[key]).astype(np.int32)
             )
             assert d.max() <= 1, (key, d.max())
+
+    def test_f32_entry_matches_jnp_receiver(self, rng):
+        """The f32-recording entry also runs the rows path when the DC
+        kernel is present (process-file's path on TPU)."""
+        plan, block, rx_ref, rx_pal = self._build()
+        raw = rng.standard_normal((2, 2 * block)).astype(np.float32) * 30
+        sr, sp = rx_ref.init_state(), rx_pal.init_state()
+        for i in range(2):
+            sr, oref = rx_ref.step_f32(sr, jnp.asarray(raw[i]))
+            sp, opal = rx_pal.step_f32(sp, jnp.asarray(raw[i]))
+            for k in oref:
+                d = np.abs(
+                    np.asarray(opal[k]).astype(np.int32)
+                    - np.asarray(oref[k]).astype(np.int32)
+                )
+                assert d.max() <= 1, (k, i, d.max())
