@@ -51,10 +51,33 @@ size=3
 """
 
 
+_port_iter = None
+
+
 def _free_port() -> int:
-    with socket.socket() as s:
-        s.bind(("127.0.0.1", 0))
-        return s.getsockname()[1]
+    """A bindable port OUTSIDE the OS ephemeral range (32768+).
+
+    Binding port 0 and re-using the number is a TOCTOU race against every
+    concurrent ephemeral-port user on the machine — observed once as
+    'Address already in use' when another suite's ZMQ socket landed on the
+    same number between close and use.  Ports 21000-31999, offset by pid,
+    are not handed out by the OS, so only another instance of THIS helper
+    could collide (and the bind check skips taken ones)."""
+    global _port_iter
+    import itertools
+    import os
+
+    if _port_iter is None:
+        _port_iter = itertools.count((os.getpid() * 127) % 10000)
+    for _ in range(200):
+        port = 21000 + next(_port_iter) % 11000
+        try:
+            with socket.socket() as s:
+                s.bind(("127.0.0.1", port))
+            return port
+        except OSError:
+            continue
+    raise RuntimeError("no free port found in 21000-31999")
 
 
 def _env(n_devices: int = 1) -> dict:
