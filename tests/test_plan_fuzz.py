@@ -111,3 +111,51 @@ def test_random_plan_pallas_matches_jnp(seed):
                 - np.asarray(oref[k]).astype(np.int32)
             )
             assert d.max() <= 1, (seed, k, i, int(d.max()), ini)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_random_plan_sharded_matches_unsharded(seed):
+    """Random plans through ShardedReceiver on a random (time, chan) mesh:
+    sharded == single-device for config corners (direct groups, mix-only
+    mains, late /5//6) that the hand-written dist tests don't draw."""
+    import jax
+
+    from sdrreceiver_tpu.dist import ShardedReceiver, make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    rng = np.random.default_rng(2000 + seed)
+    ini = _random_ini(rng)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        try:
+            plan = build_plan(parse_ini_text(ini))
+        except ValueError:
+            return
+    n_time, n_chan = [(8, 1), (4, 2), (2, 4), (2, 2)][int(rng.integers(0, 4))]
+    div = plan.block_divisor() * n_time
+    block = div
+    while block < 4096:
+        block += div
+    rx_ref = CompiledReceiver(plan, block)
+    mesh = make_mesh(n_time=n_time, n_chan=n_chan,
+                     devices=jax.devices()[: n_time * n_chan])
+    rx_sh = ShardedReceiver(plan, mesh, block)
+    iq = jnp.asarray(
+        (rng.standard_normal(2 * block) + 1j * rng.standard_normal(2 * block))
+        .astype(np.complex64)
+    )
+    sr, ss = rx_ref.init_state(), rx_sh.init_state()
+    for i in range(2):
+        chunk = iq[i * block : (i + 1) * block]
+        sr, oref = rx_ref.step_iq(sr, chunk)
+        ss, osh = rx_sh.step_iq(ss, chunk)
+        assert set(oref) == set(osh), ini
+        for k in oref:
+            a = np.asarray(osh[k])
+            b = np.asarray(oref[k])
+            if k.startswith("iq/"):
+                np.testing.assert_array_equal(a, b, err_msg=f"{seed} {k}")
+                continue
+            d = np.abs(a.astype(np.int32) - b.astype(np.int32))
+            assert d.max() <= 1, (seed, k, i, int(d.max()), ini)
