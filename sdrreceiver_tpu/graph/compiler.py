@@ -394,6 +394,17 @@ class CompiledReceiver:
     # step measured 25.4 ms/block of pure device time vs ~0.3 ms of DSP;
     # tools/layout_probe.py has the per-formulation data).
 
+    @staticmethod
+    def _rows_ext(prefix_r, prefix_i, rows):
+        """Kernel input ``[1, R', 256]`` planes: a 1-D warm-up prefix (a
+        LANES multiple, from the carried xtail or a derived group tail)
+        concatenated IN ROW SPACE onto row planes — the pre-shaped form
+        the Pallas kernels take without a 1-D<->rows layout conversion."""
+        return (
+            jnp.concatenate([prefix_r.reshape(-1, 256), rows[0]])[None],
+            jnp.concatenate([prefix_i.reshape(-1, 256), rows[1]])[None],
+        )
+
     def _tap(self, z) -> jax.Array:
         """Planar [2, T'] tap of a planar ``(re, im)`` signal, truncated to
         the LAST ``tap_samples`` — the scope shows the block's most recent
@@ -423,10 +434,11 @@ class CompiledReceiver:
         return self._step_planar(state, ingest.u8_iq_to_planar(raw))
 
     def _step_f32(self, state: dict, raw: jax.Array):
-        if self._dc_kernel is not None and self.block % 256 == 0:
+        if self._dc_kernel is not None:
             # f32-recording entry: same row-form plane discipline as the
-            # u8 path (the DC kernel passes rows through, the mix kernels
-            # take them pre-shaped — no 1-D<->rows layout conversions)
+            # u8 path (the kernel exists only for 256-aligned blocks;
+            # it passes rows through and the mix kernels take them
+            # pre-shaped — no 1-D<->rows layout conversions)
             mean, x_rows = self._dc_kernel(
                 state["dc"], ingest.f32_pairs_to_rows(raw)
             )
@@ -468,7 +480,7 @@ class CompiledReceiver:
         zs: dict[str, tuple[jax.Array, jax.Array]] = {}
         zs_rows: dict[int, tuple[jax.Array, jax.Array]] = {}
         merged_z: dict[int, tuple[jax.Array, jax.Array]] = {}
-        merged_ext = None
+        merged_warm = None
         if self._front_merged is not None:
             # ONE stateless kernel for all group fronts (see _build_consts)
             kern, mwarm, gidxs = self._front_merged
@@ -477,19 +489,13 @@ class CompiledReceiver:
                 [state[f"g{i}"]["nco"]["phase"] for i in gidxs]
             )
             ph = kern.phase_back(phases, mwarm)
-            # the kernel input tail == x's tail (mwarm <= block), so the
-            # per-group tail derivations below read x directly and the 1-D
-            # concatenated form never needs to materialize
-            merged_ext = mwarm
+            # the kernel input tail == x's tail (mwarm <= block): the
+            # per-group tail derivations below read x directly
+            merged_warm = mwarm
             if x_rows is not None:
-                # concat in ROW space: the kernel gets pre-shaped planes
-                # (mwarm is a LANES multiple by pick_warmup)
-                ext_r3 = jnp.concatenate(
-                    [xt[0, -mwarm:].reshape(-1, 256), x_rows[0]]
-                )[None]
-                ext_i3 = jnp.concatenate(
-                    [xt[1, -mwarm:].reshape(-1, 256), x_rows[1]]
-                )[None]
+                ext_r3, ext_i3 = self._rows_ext(
+                    xt[0, -mwarm:], xt[1, -mwarm:], x_rows
+                )
                 o3r, o3i = kern(ph, ext_r3, ext_i3)
             else:
                 mext_r = jnp.concatenate([xt[0, -mwarm:], xr])
@@ -522,7 +528,7 @@ class CompiledReceiver:
                 ngs["nco"]["phase"] = nco.advance_per_block(
                     gs["nco"], plan.fs, self.block
                 )
-                mwarm = merged_ext
+                mwarm = merged_warm
                 tail = (xr[-mwarm:], xi[-mwarm:])
                 tph = nco.phase_minus(ngs["nco"], plan.fs, mwarm)
                 tst = dict(gs["nco"])
@@ -541,12 +547,7 @@ class CompiledReceiver:
                 if x_rows is not None:
                     yr, yi = kern(
                         ph,
-                        jnp.concatenate(
-                            [xt[0, -warm:].reshape(-1, 256), x_rows[0]]
-                        )[None],
-                        jnp.concatenate(
-                            [xt[1, -warm:].reshape(-1, 256), x_rows[1]]
-                        )[None],
+                        *self._rows_ext(xt[0, -warm:], xt[1, -warm:], x_rows),
                     )
                 else:
                     ext_r = jnp.concatenate([xt[0, -warm:], xr])
@@ -660,18 +661,8 @@ class CompiledReceiver:
             ztr, zti = self._prev_group_tail(state, g, warm)
             ph = nco.phase_minus(bs["nco"], fs_b, warm)
             if z_rows is not None and warm % 256 == 0:
-                # group output already in ROW planes: concat the warm-up
-                # in row space so the kernel input needs no 1-D->rows
-                # layout conversion (see _front / kernels/ingest.py)
-                yr, yi = kern(
-                    ph,
-                    jnp.concatenate(
-                        [ztr.reshape(-1, 256), z_rows[0]]
-                    )[None],
-                    jnp.concatenate(
-                        [zti.reshape(-1, 256), z_rows[1]]
-                    )[None],
-                )
+                # group output already in ROW planes (see _front)
+                yr, yi = kern(ph, *self._rows_ext(ztr, zti, z_rows))
             else:
                 ext_r = jnp.concatenate([ztr, zr], axis=-1)
                 ext_i = jnp.concatenate([zti, zi], axis=-1)

@@ -306,13 +306,11 @@ def roundrobin(block: int | None, pallas: bool, rounds: int = 5,
 
     sys.path.insert(0, ".")
     from __graft_entry__ import _benchmark_config
-    from sdrreceiver_tpu.graph import build_plan
+    from sdrreceiver_tpu.graph import build_plan, load_ini
     from sdrreceiver_tpu.graph.compiler import CompiledReceiver
 
     dev = jax.devices()[0]
     on_tpu = "tpu" in dev.platform.lower() or "TPU" in str(dev)
-    from sdrreceiver_tpu.graph import load_ini
-
     plan = build_plan(load_ini(ini) if ini else _benchmark_config())
     if block is None:
         div = plan.block_divisor()
