@@ -194,10 +194,102 @@ def measure(name, plan, on_tpu: bool) -> dict:
     }
 
 
+def measure_roundrobin(plans: dict, on_tpu: bool, rounds: int = 5) -> list:
+    """All configs' step programs compiled FIRST, then timed interleaved —
+    the sequential measure() runs each config in a different session-speed
+    window (the remote session drifts up to ~3x between minute-scale
+    windows), so cross-config comparisons from one sequential sweep are
+    only order-of-magnitude.  This mode gives one consistent window for
+    the whole matrix (steps only; burst figures still come from
+    measure())."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    from sdrreceiver_tpu.graph.compiler import CompiledReceiver
+
+    n1, n2 = (2, 8) if on_tpu else (2, 4)
+    progs = {}
+    rng = np.random.default_rng(0)
+    for name, plan in plans.items():
+        div = plan.block_divisor()
+        for g in plan.groups:
+            if any(b.stages >= 1 for b in g.buckets):
+                div = int(np.lcm(div, 256 << g.stages))
+            elif not g.direct and g.stages >= 1:
+                div = int(np.lcm(div, 256))
+        want = plan.fs if on_tpu else plan.fs // 8
+        block = ((want + div - 1) // div) * div
+        rx = CompiledReceiver(plan, block, use_pallas=on_tpu,
+                              pallas_interpret=not on_tpu)
+        body = rx._vec(rx._step_u8)
+        vec0 = rx.init_state()
+        xs_big = jax.device_put(jnp.asarray(
+            rng.integers(0, 256, (n2, 2 * block)).astype(np.uint8)))
+        xs = {n1: xs_big[:n1], n2: xs_big}
+
+        def make(n, body=body, vec0=vec0):
+            @jax.jit
+            def prog(x):
+                def b(carry, xi):
+                    v, acc = carry
+                    v2, outs = body(v, xi)
+                    s = jnp.zeros((), jnp.float32)
+                    for o in outs.values():
+                        s = s + jnp.sum(jnp.abs(o.astype(jnp.float32)))
+                    return (v2, acc + s), None
+                (_, s), _ = jax.lax.scan(
+                    b, (vec0, jnp.zeros((), jnp.float32)), x)
+                return s
+            return prog
+
+        p = {n: make(n) for n in (n1, n2)}
+        for n in (n1, n2):
+            _ = float(p[n](xs[n]))  # compile everything before ANY timing
+        progs[name] = (p, xs, plan, block)
+        print(f"compiled {name} block={block}", file=sys.stderr, flush=True)
+
+    best = {name: {n1: float("inf"), n2: float("inf")} for name in progs}
+    med = {name: {n1: [], n2: []} for name in progs}
+    for _r in range(rounds):
+        for name, (p, xs, _pl, _b) in progs.items():
+            for n in (n1, n2):
+                t0 = _time.perf_counter()
+                _ = float(p[n](xs[n]))
+                dt = _time.perf_counter() - t0
+                best[name][n] = min(best[name][n], dt)
+                med[name][n].append(dt)
+    rows = []
+    for name, (p, xs, plan, block) in progs.items():
+        b = (best[name][n2] - best[name][n1]) / (n2 - n1)
+        m = (float(np.median(med[name][n2]))
+             - float(np.median(med[name][n1]))) / (n2 - n1)
+        sps = block / b if b > 0 else 0.0
+        rows.append({
+            "config": name,
+            "fs": plan.fs,
+            "channels": plan.num_channels(),
+            "block": block,
+            "step_us": round(b * 1e6, 1),
+            "step_us_median": round(m * 1e6, 1),
+            "msps": round(sps / 1e6, 1),
+            "vs_baseline": round(sps / 1e9, 3),
+            "realtime_factor": round(sps / plan.fs, 1),
+            "valid": b > 0 and m > 0 and m <= 3 * b and b <= 3 * m,
+        })
+        print(json.dumps(rows[-1]), flush=True)
+    return rows
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=os.path.join(_ROOT, "BENCH_MATRIX_r05.json"))
     ap.add_argument("--only", default=None, help="comma list of config names")
+    ap.add_argument("--roundrobin", action="store_true",
+                    help="one consistent session window for ALL configs: "
+                    "compile everything first, interleave step timing "
+                    "(results go to a 'roundrobin_steps' artifact section)")
     args = ap.parse_args()
 
     import jax
@@ -221,6 +313,32 @@ def main() -> int:
         "cband_66ch": lambda: build_plan(parse_ini_text(_cband_scale_ini(66))),
     }
     only = set(args.only.split(",")) if args.only else None
+
+    if args.roundrobin:
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            plans = {name: mk() for name, mk in cases.items()
+                     if not only or name in only}
+        rows = measure_roundrobin(plans, on_tpu)
+        out = {}
+        if os.path.exists(args.out):
+            with open(args.out) as f:
+                out = json.load(f)
+        out["device"] = str(dev)
+        out["roundrobin_steps"] = {
+            "rows": rows,
+            "method": "ALL configs' step programs compiled first, timed "
+                      "interleaved in ONE session window (cross-config "
+                      "ratios are meaningful; the sequential 'rows' above "
+                      "were each measured in a different window)",
+        }
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=1)
+        print(f"wrote {args.out}", file=sys.stderr)
+        return 0
+
     rows = []
     for name, mk in cases.items():
         if only and name not in only:
