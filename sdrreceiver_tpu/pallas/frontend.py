@@ -318,6 +318,139 @@ class MixCascadeKernel:
 
     # ------------------------------------------------------------------
     def _build(self):
+        if (self.shared_input and not self.multi and self.n_tiles == 1
+                and self.c > 1):
+            # single-tile shared-input multi-channel (the sub-VFO bucket
+            # shape): ONE grid step looping channels in-kernel, so the
+            # shared input block is DMA'd ONCE instead of once per channel
+            # — measured 266 -> 159 us for c=22 d=5 on v5e (round 5),
+            # bit-identical.  No cross-tile scratch needed (single tile:
+            # the warm-up prefix absorbs the zero boundary).
+            return self._build_chanloop()
+        return self._build_grid()
+
+    def _build_chanloop(self):
+        c_chan, fs = self.c, self.fs
+        r = self.rows
+        lanes = self.lanes
+        l_out = self.l_out
+        n_prev = self.n_prev
+        prec_mode = self.prec_mode
+        split = prec_mode == "bf16x3"
+        if split:
+            import ml_dtypes
+
+            mats_hi = [
+                m.astype(ml_dtypes.bfloat16).astype(np.float32)
+                for m in self.mats
+            ]
+            mats_in = mats_hi + [m - h for m, h in zip(self.mats, mats_hi)]
+        else:
+            mats_in = list(self.mats)
+        n_mats = len(mats_in)
+        dot_prec = {
+            "default": jax.lax.Precision.DEFAULT,
+            "highest": jax.lax.Precision.HIGHEST,
+            "bf16x3": jax.lax.Precision.DEFAULT,
+        }[prec_mode]
+        two_pi_over_fs = np.float32(2.0 * np.pi / fs)
+
+        def kernel(scal_ref, xr_ref, xi_ref, *refs):
+            m_refs = [lambda mr=refs[k]: mr[:, :] for k in range(n_mats)]
+            yr_ref, yi_ref = refs[n_mats], refs[n_mats + 1]
+
+            def band_dot(op):
+                mh = m_refs[0]()
+                if split:
+                    hi = op.astype(jnp.bfloat16).astype(jnp.float32)
+                    lo = op - hi
+                    ml = m_refs[1]()
+                    return (
+                        jnp.dot(hi, mh, preferred_element_type=jnp.float32,
+                                precision=dot_prec)
+                        + jnp.dot(lo, mh, preferred_element_type=jnp.float32,
+                                  precision=dot_prec)
+                        + jnp.dot(hi, ml, preferred_element_type=jnp.float32,
+                                  precision=dot_prec)
+                    )
+                return jnp.dot(op, mh, preferred_element_type=jnp.float32,
+                               precision=dot_prec)
+
+            row_i = jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0)
+            lane_i = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
+            xr = xr_ref[0, :, :]
+            xi = xi_ref[0, :, :]
+            for ci in range(c_chan):
+                phase0 = scal_ref[0, ci]
+                f_mod = scal_ref[1, ci]
+                a_row = scal_ref[2, ci]
+                m_row = (phase0 + (row_i * a_row) % fs) % fs
+                m_lane = (lane_i * f_mod) % fs
+                th_row = m_row.astype(jnp.float32) * two_pi_over_fs
+                th_lane = m_lane.astype(jnp.float32) * two_pi_over_fs
+                cr, sr = jnp.cos(th_row), jnp.sin(th_row)
+                cl, sl = jnp.cos(th_lane), jnp.sin(th_lane)
+                ar = xr * cl - xi * sl
+                ai = xr * sl + xi * cl
+                zr = ar * cr - ai * sr
+                zi = ar * sr + ai * cr
+                for z, y_ref in ((zr, yr_ref), (zi, yi_ref)):
+                    yp = band_dot(z)
+                    acc = yp[:, :l_out]
+                    for k in range(1, n_prev + 1):
+                        sh = pltpu.roll(
+                            yp[:, k * l_out : (k + 1) * l_out], k, 0
+                        )
+                        sh = jnp.where(row_i < k, jnp.zeros_like(sh), sh)
+                        acc = acc + sh
+                    y_ref[ci, :, :] = acc
+
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars [4, C]
+            pl.BlockSpec((1, r, lanes), lambda g: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r, lanes), lambda g: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(n_mats)]
+        out_shapes = [
+            jax.ShapeDtypeStruct((c_chan, r, l_out), jnp.float32),
+            jax.ShapeDtypeStruct((c_chan, r, l_out), jnp.float32),
+        ]
+        out_specs = [
+            pl.BlockSpec((c_chan, r, l_out), lambda g: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_chan, r, l_out), lambda g: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        interpret = self.interpret
+
+        def call(phase, xr, xi):
+            scal = jnp.stack(
+                [
+                    phase.astype(jnp.int32),
+                    jnp.asarray(self.f_mod),
+                    jnp.asarray(self.a_row),
+                    jnp.asarray(self.f_tile),
+                ]
+            )
+            xr3 = xr if xr.ndim == 3 else xr.reshape(1, r, lanes)
+            xi3 = xi if xi.ndim == 3 else xi.reshape(1, r, lanes)
+            outs = pl.pallas_call(
+                kernel,
+                grid=(1,),
+                out_shape=out_shapes,
+                in_specs=in_specs,
+                out_specs=out_specs,
+                interpret=interpret,
+            )(scal, xr3, xi3, *(jnp.asarray(m) for m in mats_in))
+            return (
+                outs[0].reshape(c_chan, -1),
+                outs[1].reshape(c_chan, -1),
+            )
+
+        return call
+
+    def _build_grid(self):
         c_chan, d, fs = self.c, self.d, self.fs
         r, n_tiles = self.rows, self.n_tiles
         lanes = self.lanes
