@@ -318,22 +318,27 @@ class MixCascadeKernel:
 
     # ------------------------------------------------------------------
     def _build(self):
-        if (self.shared_input and not self.multi and self.n_tiles == 1
-                and self.c > 1):
-            # single-tile shared-input multi-channel (the sub-VFO bucket
-            # shape): ONE grid step looping channels in-kernel, so the
-            # shared input block is DMA'd ONCE instead of once per channel
-            # — measured 266 -> 159 us for c=22 d=5 on v5e (round 5),
-            # bit-identical.  No cross-tile scratch needed (single tile:
-            # the warm-up prefix absorbs the zero boundary).
+        if (self.shared_input and self.c > 1
+                and (self.n_tiles == 1 or self.c <= 8)):
+            # shared-input multi-channel (sub-VFO buckets, merged group
+            # fronts): grid over TILES only, looping channels in-kernel,
+            # so the shared input block is DMA'd ONCE per tile instead of
+            # once per (channel, tile) — measured 266 -> 159 us for c=22
+            # d=5 on v5e (round 5), bit-identical.  Cross-tile carry uses
+            # statically-indexed per-channel scratch (a Python loop over
+            # channels, so no dynamic sublane-offset writes); gated to
+            # C <= 8 for multi-tile shapes to bound the scratch count
+            # (single-tile shapes need no scratch at all — the warm-up
+            # prefix absorbs the zero boundary).
             return self._build_chanloop()
         return self._build_grid()
 
     def _build_chanloop(self):
         c_chan, fs = self.c, self.fs
-        r = self.rows
+        r, n_tiles = self.rows, self.n_tiles
         lanes = self.lanes
         l_out = self.l_out
+        multi = self.multi
         n_prev = self.n_prev
         prec_mode = self.prec_mode
         split = prec_mode == "bf16x3"
@@ -356,15 +361,30 @@ class MixCascadeKernel:
         two_pi_over_fs = np.float32(2.0 * np.pi / fs)
 
         def kernel(scal_ref, xr_ref, xi_ref, *refs):
-            m_refs = [lambda mr=refs[k]: mr[:, :] for k in range(n_mats)]
             yr_ref, yi_ref = refs[n_mats], refs[n_mats + 1]
+            # per (channel, plane, prev-depth) trailing-yp-row scratch,
+            # indexed STATICALLY by the Python channel loop (no dynamic
+            # sublane-offset writes — the Mosaic hazard)
+            scr = refs[n_mats + 2 :]
+            ti = pl.program_id(0)
 
-            def band_dot(op):
-                mh = m_refs[0]()
+            if scr:
+                @pl.when(ti == 0)
+                def _():
+                    for s in scr:
+                        s[:, :] = jnp.zeros_like(s[:, :])
+
+            def m_ref(k, ci):
+                if multi:
+                    return refs[k][ci, :, :]
+                return refs[k][:, :]
+
+            def band_dot(op, ci):
+                mh = m_ref(0, ci)
                 if split:
                     hi = op.astype(jnp.bfloat16).astype(jnp.float32)
                     lo = op - hi
-                    ml = m_refs[1]()
+                    ml = m_ref(1, ci)
                     return (
                         jnp.dot(hi, mh, preferred_element_type=jnp.float32,
                                 precision=dot_prec)
@@ -384,7 +404,9 @@ class MixCascadeKernel:
                 phase0 = scal_ref[0, ci]
                 f_mod = scal_ref[1, ci]
                 a_row = scal_ref[2, ci]
-                m_row = (phase0 + (row_i * a_row) % fs) % fs
+                f_tile = scal_ref[3, ci]
+                off = (phase0 + (ti * f_tile) % fs) % fs
+                m_row = (off + (row_i * a_row) % fs) % fs
                 m_lane = (lane_i * f_mod) % fs
                 th_row = m_row.astype(jnp.float32) * two_pi_over_fs
                 th_lane = m_lane.astype(jnp.float32) * two_pi_over_fs
@@ -394,34 +416,62 @@ class MixCascadeKernel:
                 ai = xr * sl + xi * cl
                 zr = ar * cr - ai * sr
                 zi = ar * sr + ai * cr
-                for z, y_ref in ((zr, yr_ref), (zi, yi_ref)):
-                    yp = band_dot(z)
+                for p, (z, y_ref) in enumerate(((zr, yr_ref), (zi, yi_ref))):
+                    sc = (scr[(ci * 2 + p) * n_prev : (ci * 2 + p + 1) * n_prev]
+                          if scr else [])
+                    yp = band_dot(z, ci)
                     acc = yp[:, :l_out]
                     for k in range(1, n_prev + 1):
                         sh = pltpu.roll(
                             yp[:, k * l_out : (k + 1) * l_out], k, 0
                         )
-                        sh = jnp.where(row_i < k, jnp.zeros_like(sh), sh)
+                        for j in range(k):
+                            boundary = (
+                                sc[n_prev - k + j][
+                                    0:1, k * l_out : (k + 1) * l_out
+                                ]
+                                if sc
+                                else jnp.zeros_like(sh[0:1])
+                            )
+                            sh = jnp.where(row_i == j, boundary, sh)
                         acc = acc + sh
                     y_ref[ci, :, :] = acc
+                    for j in range(n_prev):
+                        if sc:
+                            sc[j][:, :] = yp[
+                                r - n_prev + j : r - n_prev + j + 1, :
+                            ]
 
+        mat_spec = (
+            pl.BlockSpec((c_chan, lanes, (n_prev + 1) * l_out),
+                         lambda ti: (0, 0, 0), memory_space=pltpu.VMEM)
+            if multi
+            else pl.BlockSpec(memory_space=pltpu.VMEM)
+        )
         in_specs = [
             pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars [4, C]
-            pl.BlockSpec((1, r, lanes), lambda g: (0, 0, 0),
+            pl.BlockSpec((1, r, lanes), lambda ti: (0, ti, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, r, lanes), lambda g: (0, 0, 0),
+            pl.BlockSpec((1, r, lanes), lambda ti: (0, ti, 0),
                          memory_space=pltpu.VMEM),
-        ] + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(n_mats)]
+        ] + [mat_spec for _ in range(n_mats)]
         out_shapes = [
-            jax.ShapeDtypeStruct((c_chan, r, l_out), jnp.float32),
-            jax.ShapeDtypeStruct((c_chan, r, l_out), jnp.float32),
+            jax.ShapeDtypeStruct((c_chan, n_tiles * r, l_out), jnp.float32),
+            jax.ShapeDtypeStruct((c_chan, n_tiles * r, l_out), jnp.float32),
         ]
         out_specs = [
-            pl.BlockSpec((c_chan, r, l_out), lambda g: (0, 0, 0),
+            pl.BlockSpec((c_chan, r, l_out), lambda ti: (0, ti, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((c_chan, r, l_out), lambda g: (0, 0, 0),
+            pl.BlockSpec((c_chan, r, l_out), lambda ti: (0, ti, 0),
                          memory_space=pltpu.VMEM),
         ]
+        w_cat = (n_prev + 1) * l_out
+        scratch_shapes = (
+            []
+            if n_tiles == 1
+            else [pltpu.VMEM((1, w_cat), jnp.float32)
+                  for _ in range(2 * n_prev * c_chan)]
+        )
         interpret = self.interpret
 
         def call(phase, xr, xi):
@@ -433,16 +483,19 @@ class MixCascadeKernel:
                     jnp.asarray(self.f_tile),
                 ]
             )
-            xr3 = xr if xr.ndim == 3 else xr.reshape(1, r, lanes)
-            xi3 = xi if xi.ndim == 3 else xi.reshape(1, r, lanes)
+            xr3 = xr if xr.ndim == 3 else xr.reshape(1, n_tiles * r, lanes)
+            xi3 = xi if xi.ndim == 3 else xi.reshape(1, n_tiles * r, lanes)
             outs = pl.pallas_call(
                 kernel,
-                grid=(1,),
+                grid=(n_tiles,),
                 out_shape=out_shapes,
                 in_specs=in_specs,
                 out_specs=out_specs,
+                scratch_shapes=scratch_shapes,
                 interpret=interpret,
             )(scal, xr3, xi3, *(jnp.asarray(m) for m in mats_in))
+            if multi:
+                return outs[0], outs[1]  # [C, R, l_out]; caller slices
             return (
                 outs[0].reshape(c_chan, -1),
                 outs[1].reshape(c_chan, -1),
