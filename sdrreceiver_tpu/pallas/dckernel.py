@@ -64,13 +64,15 @@ class DcKernel:
     see module docstring) and the kernel converts on load."""
 
     def __init__(self, t_len: int, alpha: float = dc_mod.DEFAULT_ALPHA,
-                 interpret: bool = False, in_dtype=jnp.float32):
+                 interpret: bool = False, in_dtype=jnp.float32,
+                 prefix_precision: str = "default"):
         if not dc_supported(t_len):
             raise ValueError(f"t_len {t_len} not a multiple of {_LANES}")
         self.t_len = t_len
         self.alpha = float(alpha)
         self.rows, self.n_tiles = _rows_for(t_len)
         self.interpret = interpret
+        self.prefix_precision = prefix_precision
         self.in_dtype = jnp.dtype(in_dtype)
         if self.in_dtype not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.int8)):
             raise ValueError(f"unsupported in_dtype {in_dtype}")
@@ -80,6 +82,7 @@ class DcKernel:
         r, n_tiles = self.rows, self.n_tiles
         alpha = self.alpha
         convert_i8 = self.in_dtype == jnp.dtype(jnp.int8)
+        prefix_precision = self.prefix_precision
         w = dc_mod._prefix_matrix(alpha, _LANES)  # [256, 256] upper-tri
         i = np.arange(r, dtype=np.float64)
         # e[row] = m_end(row-1) sans carry = sum_{t<=row-1} a^(256*(row-1-t)) tot[t]
@@ -104,7 +107,15 @@ class DcKernel:
                 carry[0, 0] = mean_ref[0, 0]
                 carry[0, 1] = mean_ref[0, 1]
 
-            hp = jax.lax.Precision.HIGHEST
+            # DEFAULT dot precision (the default): Mosaic's DEFAULT
+            # bf16-rounds both operands, but the prefix values are
+            # ~alpha*T_row*|x| ~ 0.03 signal-LSB, so the 0.4% relative
+            # rounding lands at ~1e-4 LSB — four orders below the int16
+            # quantum and the reference's own 16-LSB DC tolerance
+            # (test_oracle) — while HIGHEST (bf16x3-priced) made these
+            # [256, 256] dots the kernel's dominant cost
+            hp = {"default": jax.lax.Precision.DEFAULT,
+                  "highest": jax.lax.Precision.HIGHEST}[prefix_precision]
             for p, (x_ref, y_ref) in enumerate(
                 ((xr_ref, yr_ref), (xi_ref, yi_ref))
             ):
